@@ -1,0 +1,343 @@
+"""Canonicalization: distributed cross-document entity clustering (D2+D3).
+
+Reference semantics: tracks cluster when similarity >= threshold with an
+entity-type gate, via union-find — ``Resolver::resolve_inter_doc_coref``
+(/root/reference/coalesce/src/resolver.rs:56-217, Jaccard, threshold 0.7) and
+``CDCRResolver::resolve`` (/root/reference/anno/src/eval/cdcr.rs:480-579,
+string_similarity >= 0.5 with LSH blocking). Both modes supported.
+
+Ray-Data-native design (NOT the reference's all-pairs O(n^2)):
+
+1. **Exact pass** — mentions/tracks collapse to DISTINCT
+   (type, norm_surface) keys via per-block pre-aggregation inside
+   ``map_batches`` followed by a small groupby-sum. The pre-agg is the
+   combiner that defuses head-entity skew: a surface appearing in 30% of all
+   docs contributes ONE row per block to the shuffle, not one per mention.
+2. **Fuzzy pass** — LSH minhash banding (5x3 over char 3-grams, per the
+   reference's LSHBlocker) over the distinct surfaces only; band buckets are
+   the shuffle key; per-bucket pairwise similarity (capped bucket size with
+   overflow logging — the reference leaves buckets unbounded) yields an edge
+   list MUCH smaller than the corpus.
+3. **Merge** — union-find over the edge list produces connected components;
+   cluster representative and canonical_id are the lexicographic-min member
+   (deterministic under any merge order — a documented divergence from the
+   reference's HashMap-order "first member" pick, resolver.rs:161-173;
+   membership is identical).
+4. **Map-back** — the surface->canonical mapping is broadcast via ``ray.put``
+   and applied inside ``map_batches`` (broadcast hash join; no shuffle of the
+   big table).
+
+Scale path: the edge list after LSH + threshold is O(distinct surfaces), and
+the union-find runs on compacted integer arrays; for corpora where even that
+exceeds driver memory, ``fuzzy_edges`` output is already a Dataset, and the
+merge can be swapped for iterated hash-join contraction without touching the
+other stages.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections import defaultdict
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..core.minhash import batch_band_hashes, batch_signatures
+from ..core.normalize import jaccard_similarity, string_similarity
+from ..ray_utils import register_for_ray
+
+MODE_CDCR = "cdcr"          # string_similarity >= 0.5 (eval/cdcr.rs defaults)
+MODE_COALESCE = "coalesce"  # pure word-Jaccard >= 0.7 (coalesce/resolver.rs)
+
+_TYPE_GROUPS = {
+    "per": "PER", "person": "PER",
+    "org": "ORG", "organization": "ORG",
+    "loc": "LOC", "location": "LOC", "gpe": "LOC",
+}
+
+
+def type_group(label: str) -> str:
+    return _TYPE_GROUPS.get(label.lower(), label.upper())
+
+
+def canonical_hash(entity_type: str, norm_surface: str) -> int:
+    """Deterministic 63-bit id from the cluster-representative key (replaces
+    the reference's global ``next_identity_id`` counter, grounded.rs:2957)."""
+    h = hashlib.blake2b(
+        f"{entity_type}\x00{norm_surface}".encode("utf-8"), digest_size=8
+    ).digest()
+    return int.from_bytes(h, "big") >> 1
+
+
+# --- 1. exact pass -----------------------------------------------------------
+
+def _preagg_surfaces(batch: pa.Table, type_col: str, surface_col: str) -> pa.Table:
+    """Per-block combiner: collapse rows to distinct (type, surface) + count."""
+    types = batch.column(type_col).to_pylist()
+    surfaces = batch.column(surface_col).to_pylist()
+    counts: dict[tuple[str, str], int] = defaultdict(int)
+    for t, s in zip(types, surfaces):
+        if not s:
+            continue
+        counts[(type_group(t), s)] += 1
+    keys = sorted(counts)
+    return pa.table(
+        {
+            "entity_type": pa.array([k[0] for k in keys], pa.string()),
+            "norm_surface": pa.array([k[1] for k in keys], pa.string()),
+            "n_mentions": pa.array([counts[k] for k in keys], pa.int64()),
+        }
+    )
+
+
+def surface_groups(
+    ds,
+    type_col: str = "entity_type",
+    surface_col: str = "norm_surface",
+):
+    """Dataset of mention/track rows -> distinct surface Dataset
+    (entity_type, norm_surface, n_mentions)."""
+    register_for_ray()
+    pre = ds.map_batches(
+        lambda b: _preagg_surfaces(b, type_col, surface_col),
+        batch_format="pyarrow",
+    )
+    return pre.groupby(["entity_type", "norm_surface"]).sum("n_mentions")
+
+
+# --- 2. fuzzy pass -----------------------------------------------------------
+
+def _band_rows(batch: pa.Table, num_bands: int, rows_per_band: int) -> pa.Table:
+    """surfaces -> (band, band_hash, entity_type, norm_surface) rows."""
+    surfaces = batch.column("norm_surface").to_pylist()
+    types = batch.column("entity_type").to_pylist()
+    sigs = batch_signatures(surfaces, num_bands, rows_per_band)
+    bands = batch_band_hashes(sigs, num_bands, rows_per_band)
+    n = len(surfaces)
+    out_type: list[str] = []
+    out_surface: list[str] = []
+    out_band: list[int] = []
+    out_hash: list[int] = []
+    for b in range(num_bands):
+        out_type.extend(types)
+        out_surface.extend(surfaces)
+        out_band.extend([b] * n)
+        out_hash.extend(int(x) for x in bands[:, b])
+    return pa.table(
+        {
+            "entity_type": pa.array(out_type, pa.string()),
+            "norm_surface": pa.array(out_surface, pa.string()),
+            "band": pa.array(out_band, pa.int32()),
+            "band_hash": pa.array(out_hash, pa.uint64()),
+        }
+    )
+
+
+def _bucket_edges(
+    group: pa.Table,
+    mode: str,
+    threshold: float,
+    require_type_match: bool,
+    max_bucket: int,
+) -> pa.Table:
+    """Pairwise similarity inside one (band, band_hash) bucket -> edges."""
+    types = group.column("entity_type").to_pylist()
+    surfaces = group.column("norm_surface").to_pylist()
+    n = len(surfaces)
+    ea, eb, et_a, et_b = [], [], [], []
+    overflow = 0
+    if n > max_bucket:
+        # skew defense: deterministically keep the lexicographically first
+        # max_bucket members; the exact pass already merged identical keys,
+        # and hot buckets beyond the cap are overwhelmingly hash collisions.
+        overflow = n - max_bucket
+        order = sorted(range(n), key=lambda i: (surfaces[i], types[i]))[:max_bucket]
+        types = [types[i] for i in order]
+        surfaces = [surfaces[i] for i in order]
+        n = max_bucket
+    sim = string_similarity if mode == MODE_CDCR else jaccard_similarity
+    for i in range(n):
+        for j in range(i + 1, n):
+            if require_type_match and types[i] != types[j]:
+                continue
+            if surfaces[i] == surfaces[j]:
+                continue  # same surface, (possibly) different type: no edge
+            if sim(surfaces[i], surfaces[j]) >= threshold:
+                ea.append(surfaces[i]); eb.append(surfaces[j])
+                et_a.append(types[i]); et_b.append(types[j])
+    if overflow:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "LSH bucket overflow: %d surfaces dropped beyond cap %d",
+            overflow, max_bucket,
+        )
+    return pa.table(
+        {
+            "type_a": pa.array(et_a, pa.string()),
+            "surface_a": pa.array(ea, pa.string()),
+            "type_b": pa.array(et_b, pa.string()),
+            "surface_b": pa.array(eb, pa.string()),
+        }
+    )
+
+
+def fuzzy_edges(
+    surfaces_ds,
+    *,
+    mode: str = MODE_CDCR,
+    threshold: float | None = None,
+    require_type_match: bool = True,
+    num_bands: int = 5,
+    rows_per_band: int = 3,
+    max_bucket: int = 256,
+):
+    """Distinct surfaces Dataset -> similarity edge Dataset via LSH buckets."""
+    register_for_ray()
+    if threshold is None:
+        threshold = 0.5 if mode == MODE_CDCR else 0.7
+    banded = surfaces_ds.map_batches(
+        lambda b: _band_rows(b, num_bands, rows_per_band), batch_format="pyarrow"
+    )
+    return banded.groupby(["band", "band_hash"]).map_groups(
+        lambda g: _bucket_edges(g, mode, threshold, require_type_match, max_bucket),
+        batch_format="pyarrow",
+    )
+
+
+# --- 3. merge ----------------------------------------------------------------
+
+def build_canonical_map(surfaces_ds, edges_ds) -> pa.Table:
+    """Union-find over fuzzy edges -> mapping table
+    (entity_type, norm_surface, canonical_id, canonical_name).
+
+    Driver-side merge over the COMPACT edge list (<< corpus size); see module
+    docstring for the swap-in path at extreme scale.
+    """
+    surf_tbl = _to_table(surfaces_ds, ["entity_type", "norm_surface"])
+    types = surf_tbl.column("entity_type").to_pylist()
+    surfaces = surf_tbl.column("norm_surface").to_pylist()
+    keys = list(zip(types, surfaces))
+    index = {k: i for i, k in enumerate(keys)}
+
+    from ..core.unionfind import UnionFind
+
+    uf = UnionFind(len(keys))
+    edge_tbl = _to_table(edges_ds, ["type_a", "surface_a", "type_b", "surface_b"])
+    for ta, sa, tb, sb in zip(
+        edge_tbl.column("type_a").to_pylist(),
+        edge_tbl.column("surface_a").to_pylist(),
+        edge_tbl.column("type_b").to_pylist(),
+        edge_tbl.column("surface_b").to_pylist(),
+    ):
+        ia = index.get((ta, sa))
+        ib = index.get((tb, sb))
+        if ia is not None and ib is not None:
+            uf.union(ia, ib)
+
+    # representative = lexicographic min (entity_type, norm_surface) member
+    rep: dict[int, int] = {}
+    for i in range(len(keys)):
+        r = uf.find(i)
+        if r not in rep or keys[i] < keys[rep[r]]:
+            rep[r] = i
+
+    canon_ids = []
+    canon_names = []
+    for i in range(len(keys)):
+        r = uf.find(i)
+        rk = keys[rep[r]]
+        canon_ids.append(canonical_hash(rk[0], rk[1]))
+        canon_names.append(rk[1])
+    return pa.table(
+        {
+            "entity_type": pa.array(types, pa.string()),
+            "norm_surface": pa.array(surfaces, pa.string()),
+            "canonical_id": pa.array(canon_ids, pa.int64()),
+            "canonical_name": pa.array(canon_names, pa.string()),
+        }
+    )
+
+
+def _to_table(ds_or_table, columns: list[str]) -> pa.Table:
+    if isinstance(ds_or_table, pa.Table):
+        return ds_or_table.select([c for c in columns if c in ds_or_table.column_names])
+    import ray.data
+
+    if isinstance(ds_or_table, ray.data.Dataset):
+        tables = []
+        for ref in ds_or_table.to_arrow_refs():
+            import ray
+
+            t = ray.get(ref)
+            if t.num_rows:
+                tables.append(t.select([c for c in columns if c in t.column_names]))
+        if not tables:
+            return pa.table({c: pa.array([], pa.string()) for c in columns})
+        return pa.concat_tables(tables, promote_options="permissive")
+    raise TypeError(type(ds_or_table))
+
+
+# --- 4. map-back (broadcast join) -------------------------------------------
+
+class CanonicalMapper:
+    """Stateful map_batches callable: builds the lookup dict ONCE per actor
+    from the broadcast mapping (ray.put object ref), then annotates batches.
+
+    The constructor takes the object ref so each actor pays deserialization
+    once, not per batch — the broadcast-small-side join pattern (J1 analog).
+    """
+
+    def __init__(self, mapping_ref, type_col: str, surface_col: str):
+        import ray
+
+        mapping: pa.Table = ray.get(mapping_ref) if not isinstance(mapping_ref, pa.Table) else mapping_ref
+        self.lookup: dict[tuple[str, str], tuple[int, str]] = {}
+        for t, s, cid, cname in zip(
+            mapping.column("entity_type").to_pylist(),
+            mapping.column("norm_surface").to_pylist(),
+            mapping.column("canonical_id").to_pylist(),
+            mapping.column("canonical_name").to_pylist(),
+        ):
+            self.lookup[(t, s)] = (cid, cname)
+        self.type_col = type_col
+        self.surface_col = surface_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        types = batch.column(self.type_col).to_pylist()
+        surfaces = batch.column(self.surface_col).to_pylist()
+        cids = np.empty(len(types), dtype=np.int64)
+        cnames: list[str] = []
+        for k, (t, s) in enumerate(zip(types, surfaces)):
+            hit = self.lookup.get((type_group(t), s))
+            if hit is None:
+                cids[k] = canonical_hash(type_group(t), s)
+                cnames.append(s)
+            else:
+                cids[k] = hit[0]
+                cnames.append(hit[1])
+        batch = batch.append_column("canonical_id", pa.array(cids, pa.int64()))
+        batch = batch.append_column("canonical_name", pa.array(cnames, pa.string()))
+        return batch
+
+
+def attach_canonical(
+    ds,
+    mapping: pa.Table,
+    *,
+    type_col: str = "label",
+    surface_col: str = "norm_surface",
+    concurrency: int | None = None,
+):
+    """Annotate a Dataset with canonical_id/name via broadcast lookup."""
+    import ray
+
+    register_for_ray()
+    ref = ray.put(mapping)
+    return ds.map_batches(
+        CanonicalMapper,
+        fn_constructor_args=(ref, type_col, surface_col),
+        batch_format="pyarrow",
+        concurrency=concurrency or (1, 4),
+    )
