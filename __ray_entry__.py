@@ -1,44 +1,136 @@
 """Driver contract for the graft builder (Ray Data target).
 
 The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+initialised, local mode), runs each ``queries()[name](sf_dir)`` at sf=0.01
+and compares it against the matching ``oracle_sql()[name]`` via DuckDB
+(row-count + schema + order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing here
+calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship KG pipeline slice on sf0.001: documents -> extract -> triples."""
+    from anno_ray.functions import docqueries
+
+    return docqueries.kg_triples("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from anno_ray.functions import docqueries as dq
+    from anno_ray.functions import relational as rel
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- generic relational operators (SQL-oracled) ---
+        "agg_lineitem_pricing": rel.agg_lineitem_pricing,
+        "join_orders_customer_segment": rel.join_orders_customer_segment,
+        "topk_parts_by_price": rel.topk_parts_by_price,
+        "filter_orders_recent": rel.filter_orders_recent,
+        "supplier_nation_region": rel.supplier_nation_region,
+        "events_by_type": rel.events_by_type,
+        "events_daily_topusers": rel.events_daily_topusers,
+        # --- documents/text operators (SQL-oracled) ---
+        "docs_by_lang": dq.docs_by_lang,
+        "doc_token_stats": dq.doc_token_stats,
+        "dedup_docs_exact": dq.dedup_docs_exact,
+        "top_words": dq.top_words,
+        "docs_containing_word": dq.docs_containing_word,
+        # --- similarity / dedup / analysis (non-SQL -> rows-only) ---
+        "ann_cosine_topk": dq.ann_cosine_topk,
+        "ann_lsh_topk": dq.ann_lsh_topk,
+        "embedding_near_dups": dq.embedding_near_dups,
+        "minhash_near_dups": dq.minhash_near_dups,
+        "simhash_near_dups": dq.simhash_near_dups,
+        "lang_detect_distribution": dq.lang_detect_distribution,
+        "quality_by_lang": dq.quality_by_lang,
+        "doc_fingerprints": dq.doc_fingerprints,
+        "multimodal_decode": dq.multimodal_decode,
+        # --- KG pipeline (non-SQL -> rows-only) ---
+        "kg_mentions": dq.kg_mentions,
+        "kg_triples": dq.kg_triples,
+        "kg_nodes": dq.kg_nodes,
+        "kg_edges": dq.kg_edges,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "agg_lineitem_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_price,
+                   ROUND(AVG(l_discount), 6) AS avg_disc,
+                   COUNT(*) AS cnt
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "join_orders_customer_segment": """
+            SELECT c.c_mktsegment,
+                   ROUND(SUM(o.o_totalprice), 2) AS revenue,
+                   COUNT(*) AS n_orders
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment
+        """,
+        "topk_parts_by_price": """
+            SELECT p_partkey, p_name, p_retailprice FROM part
+            ORDER BY p_retailprice DESC, p_partkey ASC LIMIT 10
+        """,
+        "filter_orders_recent": """
+            SELECT ROUND(SUM(o_totalprice), 2) AS total, COUNT(*) AS n
+            FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        """,
+        "supplier_nation_region": """
+            SELECT r.r_name,
+                   COUNT(*) AS n_suppliers,
+                   ROUND(SUM(s.s_acctbal), 2) AS total_bal
+            FROM supplier s
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name
+        """,
+        "events_by_type": """
+            SELECT event_type, COUNT(*) AS n,
+                   ROUND(SUM(value), 4) AS total_value,
+                   ROUND(AVG(value), 4) AS avg_value
+            FROM events GROUP BY event_type
+        """,
+        "events_daily_topusers": """
+            SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+                   COUNT(*) AS n_events, ROUND(SUM(value), 4) AS day_value
+            FROM events GROUP BY user_id, day
+            ORDER BY n_events DESC, user_id ASC, day ASC LIMIT 20
+        """,
+        "docs_by_lang": """
+            SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+            FROM documents GROUP BY lang
+        """,
+        "doc_token_stats": """
+            SELECT lang,
+                   SUM(LENGTH(regexp_extract_all(text, '\\S+'))) AS total_tokens,
+                   COUNT(*) AS n_docs
+            FROM documents GROUP BY lang
+        """,
+        "dedup_docs_exact": """
+            SELECT COUNT(*) AS n_docs, COUNT(DISTINCT text) AS n_distinct
+            FROM documents
+        """,
+        "top_words": """
+            SELECT word, COUNT(*) AS n FROM (
+                SELECT LOWER(UNNEST(regexp_extract_all(text, '\\S+'))) AS word
+                FROM documents
+            ) GROUP BY word ORDER BY n DESC, word ASC LIMIT 20
+        """,
+        "docs_containing_word": """
+            SELECT COUNT(*) AS n_docs FROM documents
+            WHERE text LIKE '%table%'
+        """,
+    }

@@ -1,0 +1,310 @@
+"""Document/text/embedding queries for the driver contract.
+
+Each function takes ``sf_dir`` and returns a result whose columns match the
+paired oracle SQL (where one exists). Implementations are Ray-Data-first:
+column-pruned reads, vectorized kernels, partial aggregation before shuffles.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..ray_utils import register_for_ray
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None):
+    import ray.data
+
+    register_for_ray()
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, f"{table}.parquet"), columns=columns
+    )
+
+
+def docs_by_lang(sf_dir: str):
+    """Groupby rollup on the documents table."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    out = ds.groupby("lang").aggregate(Count(), Sum("n_chars"))
+    return out.map_batches(
+        lambda b: b.rename_columns(
+            [
+                {"count()": "n_docs", "sum(n_chars)": "total_chars"}.get(c, c)
+                for c in b.column_names
+            ]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+_TOKEN_RE = re.compile(r"[^ \t\n\r\f]+")  # ASCII ws split == RE2 \S+ on these docs
+
+
+def doc_token_stats(sf_dir: str):
+    """Token counting (whitespace tokens) rolled up per lang."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def kernel(b: pa.Table) -> pa.Table:
+        texts = [t or "" for t in b.column("text").to_pylist()]
+        return pa.table(
+            {
+                "lang": b.column("lang"),
+                "n_tokens": pa.array(
+                    [len(_TOKEN_RE.findall(t)) for t in texts], pa.int64()
+                ),
+            }
+        )
+
+    out = ds.map_batches(kernel, batch_format="pyarrow").groupby("lang").aggregate(
+        Sum("n_tokens"), Count()
+    )
+    return out.map_batches(
+        lambda b: b.rename_columns(
+            [
+                {"sum(n_tokens)": "total_tokens", "count()": "n_docs"}.get(c, c)
+                for c in b.column_names
+            ]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def dedup_docs_exact(sf_dir: str):
+    """Exact dedup summary: total docs vs distinct texts (hash-partitioned)."""
+    import pandas as pd
+
+    from ..stages.dedup import exact_dedup_ids
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    groups = exact_dedup_ids(ds, text_col="text", id_col="doc_id")
+    n_distinct = groups.count()
+    n_docs = ds.count()
+    return pd.DataFrame({"n_docs": [n_docs], "n_distinct": [n_distinct]})
+
+
+def top_words(sf_dir: str, k: int = 20):
+    """Token explode -> partial counts per block -> groupby-sum -> top-k.
+    The per-block combiner keeps hot tokens from flooding the shuffle."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def kernel(b: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for t in b.column("text").to_pylist():
+            c.update(w.lower() for w in _TOKEN_RE.findall(t or ""))
+        toks = sorted(c)
+        return pa.table(
+            {
+                "word": pa.array(toks, pa.string()),
+                "n": pa.array([c[t] for t in toks], pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.map_batches(kernel, batch_format="pyarrow").groupby("word").aggregate(Sum("n"))
+    )
+    counts = counts.map_batches(
+        lambda b: b.rename_columns(
+            [{"sum(n)": "n"}.get(c, c) for c in b.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+    return counts.sort(["n", "word"], descending=[True, False]).limit(k)
+
+
+def docs_containing_word(sf_dir: str, word: str = "table"):
+    """String-filter kernel: count docs whose text contains the word."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def kernel(b: pa.Table) -> pa.Table:
+        mask = pc.match_substring(b.column("text"), word)
+        return pa.table({"hit": pa.array([int(pc.sum(pc.cast(mask, pa.int64())).as_py() or 0)], pa.int64())})
+
+    total = sum(
+        r["hit"] for r in ds.map_batches(kernel, batch_format="pyarrow").take_all()
+    )
+    return pd.DataFrame({"n_docs": [total]})
+
+
+def ann_cosine_topk(sf_dir: str, n_queries: int = 10, k: int = 5):
+    """Brute-force cosine top-k: first n_queries vectors vs the corpus."""
+    import ray
+
+    from ..stages.similarity import cosine_topk
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    head = ds.sort("vec_id").limit(n_queries)
+    tbl = pa.concat_tables([ray.get(r) for r in head.to_arrow_refs()])
+    qids = tbl.column("vec_id").to_pylist()
+    qm = np.array(tbl.column("embedding").to_pylist(), dtype=np.float32)
+    out = cosine_topk(ds, qids, qm, k=k)
+    return out.select(["query_id", "rank", "neighbor_id"])  # pa.Table
+
+
+def ann_lsh_topk(sf_dir: str, n_queries: int = 10, k: int = 5):
+    """LSH-bucketed approximate variant (rows-only check; recall measured in
+    tests against the exact result)."""
+    import ray
+
+    from ..stages.similarity import lsh_cosine_topk
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    head = ds.sort("vec_id").limit(n_queries)
+    tbl = pa.concat_tables([ray.get(r) for r in head.to_arrow_refs()])
+    qids = tbl.column("vec_id").to_pylist()
+    qm = np.array(tbl.column("embedding").to_pylist(), dtype=np.float32)
+    return lsh_cosine_topk(ds, qids, qm, k=k)
+
+
+def embedding_near_dups(sf_dir: str):
+    from ..stages.similarity import embedding_near_dup_pairs
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return embedding_near_dup_pairs(ds, threshold=0.9)
+
+
+def minhash_near_dups(sf_dir: str):
+    from ..stages.dedup import minhash_lsh_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_lsh_pairs(ds, threshold=0.8)
+
+
+def simhash_near_dups(sf_dir: str):
+    from ..stages.dedup import simhash_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_pairs(ds, max_hamming=8)
+
+
+def lang_detect_distribution(sf_dir: str):
+    """Detected-language histogram (reference lang.rs heuristic; rows-only)."""
+    from ray.data.aggregate import Count
+
+    from ..stages.text_analysis import language_id
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = language_id(ds).groupby("detected_lang").aggregate(Count())
+    return out.map_batches(
+        lambda b: b.rename_columns(
+            [{"count()": "n_docs"}.get(c, c) for c in b.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def quality_by_lang(sf_dir: str):
+    from ray.data.aggregate import Mean
+
+    from ..stages.text_analysis import quality_scores
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+    out = quality_scores(ds).groupby("lang").aggregate(Mean("quality_score"))
+    return out.map_batches(
+        lambda b: b.rename_columns(
+            [{"mean(quality_score)": "avg_quality"}.get(c, c) for c in b.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def doc_fingerprints(sf_dir: str):
+    from ..stages.text_analysis import fingerprints
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return fingerprints(ds).select_columns(["doc_id", "fingerprint"])
+
+
+def _pages_dir_for(sf_dir: str) -> str:
+    """Deterministic synthetic CC-style pages sized to the sf tier, cached
+    under /tmp (seed fixed -> byte-reproducible)."""
+    import ray
+
+    from ..fixtures.pages import write_pages_parquet
+
+    n_docs = _read(sf_dir, "documents", ["doc_id"]).count()
+    n_pages = max(50, n_docs)
+    out = f"/tmp/anno_ray_pages_{n_pages}"
+    marker = os.path.join(out, "_DONE")
+    if not os.path.exists(marker):
+        write_pages_parquet(out, n_pages, seed=42, pages_per_file=max(50, n_pages // 8))
+        with open(marker, "w", encoding="utf-8") as f:
+            f.write("ok")
+    return out
+
+
+def _synthetic_pages(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(_pages_dir_for(sf_dir))
+
+
+def kg_mentions(sf_dir: str):
+    """Full fused extraction (P1-P8, C1, J1) over synthetic CC-style pages."""
+    from ..stages.extract import extract_docs, mentions_table
+
+    docs = extract_docs(_synthetic_pages(sf_dir))
+    return mentions_table(docs)
+
+
+def kg_triples(sf_dir: str):
+    """Flagship (subj, pred, obj) triple extraction over CC-style pages."""
+    from ..stages.extract import extract_docs, triples_table
+
+    docs = extract_docs(_synthetic_pages(sf_dir))
+    return triples_table(docs)
+
+
+def kg_nodes(sf_dir: str):
+    """Full KG pipeline -> canonical sorted nodes table."""
+    import duckdb
+
+    from ..pipelines.kg import run_kg_pipeline
+
+    pages = _pages_dir_for(sf_dir)
+    out = pages + "_kg"
+    run_kg_pipeline(pages, out)
+    con = duckdb.connect()
+    return con.execute(
+        f"SELECT * FROM read_parquet('{out}/nodes/part=*/data.parquet') ORDER BY node_id"
+    ).fetch_arrow_table()
+
+
+def kg_edges(sf_dir: str):
+    """Full KG pipeline -> canonical sorted edges table."""
+    import duckdb
+
+    from ..pipelines.kg import run_kg_pipeline
+
+    pages = _pages_dir_for(sf_dir)
+    out = pages + "_kg"
+    run_kg_pipeline(pages, out)
+    con = duckdb.connect()
+    return con.execute(
+        f"SELECT * FROM read_parquet('{out}/edges/part=*/data.parquet') "
+        "ORDER BY subj_node, pred, obj_node, url"
+    ).fetch_arrow_table()
+
+
+def multimodal_decode(sf_dir: str):
+    """Image-decode plumbing over deterministic fake media (rows-only)."""
+    import ray.data
+
+    from ..stages.multimodal import decode_images, synthetic_media_table
+
+    media = ray.data.from_arrow(synthetic_media_table(200))
+    out = decode_images(media, fake=True)
+    return out.select_columns(["media_id", "height", "width", "channels"])

@@ -1,0 +1,234 @@
+"""Generic relational operators, Ray-Data-first, with DuckDB-matching names.
+
+Each function takes ``sf_dir`` and returns a Dataset/pandas DataFrame whose
+column names match the paired oracle SQL in ``__ray_entry__.oracle_sql``.
+These exercise the engine's wide operators (groupby-aggregate with partial
+combine, hash join via broadcast small side, sort+limit top-k, filter+project
+pushdown) against the TPC-H-ish driver tables.
+
+Money-typed aggregates are rounded to 2 decimals on BOTH sides to absorb
+float summation-order differences between distributed and single-process
+execution.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..ray_utils import register_for_ray
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None):
+    import ray.data
+
+    register_for_ray()
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, f"{table}.parquet"), columns=columns
+    )
+
+
+def _rename(names: dict[str, str]):
+    def fn(b: pa.Table) -> pa.Table:
+        return b.rename_columns([names.get(c, c) for c in b.column_names])
+
+    return fn
+
+
+def _round_cols(cols: list[str], ndigits: int = 2):
+    def fn(b: pa.Table) -> pa.Table:
+        for c in cols:
+            if c in b.column_names:
+                i = b.column_names.index(c)
+                b = b.set_column(
+                    i, c, pc.round(b.column(c), ndigits=ndigits)
+                )
+        return b
+
+    return fn
+
+
+def agg_lineitem_pricing(sf_dir: str):
+    """TPC-H Q1-style groupby-aggregate (partial combine inside Ray's
+    hash aggregate)."""
+    from ray.data.aggregate import Count, Mean, Sum
+
+    ds = _read(
+        sf_dir, "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    out = (
+        ds.groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity"), Sum("l_extendedprice"), Mean("l_discount"), Count()
+        )
+    )
+    return out.map_batches(
+        _rename(
+            {
+                "sum(l_quantity)": "sum_qty",
+                "sum(l_extendedprice)": "sum_price",
+                "mean(l_discount)": "avg_disc",
+                "count()": "cnt",
+            }
+        ),
+        batch_format="pyarrow",
+    ).map_batches(_round_cols(["sum_qty", "sum_price"]), batch_format="pyarrow").map_batches(
+        _round_cols(["avg_disc"], 6), batch_format="pyarrow"
+    )
+
+
+def join_orders_customer_segment(sf_dir: str):
+    """Broadcast hash join (small customer side shipped once via ray.put)
+    + groupby revenue rollup."""
+    import ray
+
+    customers = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    cust_tbl = pa.concat_tables(
+        [ray.get(r) for r in customers.to_arrow_refs()], promote_options="permissive"
+    )
+    seg_of = dict(
+        zip(
+            cust_tbl.column("c_custkey").to_pylist(),
+            cust_tbl.column("c_mktsegment").to_pylist(),
+        )
+    )
+    seg_ref = ray.put(seg_of)
+
+    class AttachSegment:
+        def __init__(self, ref):
+            self.seg_of = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            keys = b.column("o_custkey").to_pylist()
+            segs = [self.seg_of.get(k, "") for k in keys]
+            return b.append_column("c_mktsegment", pa.array(segs, pa.string()))
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    joined = orders.map_batches(
+        AttachSegment, fn_constructor_args=(seg_ref,), batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    from ray.data.aggregate import Count, Sum
+
+    out = joined.groupby("c_mktsegment").aggregate(Sum("o_totalprice"), Count())
+    return out.map_batches(
+        _rename({"sum(o_totalprice)": "revenue", "count()": "n_orders"}),
+        batch_format="pyarrow",
+    ).map_batches(_round_cols(["revenue"]), batch_format="pyarrow")
+
+
+def topk_parts_by_price(sf_dir: str):
+    """Global top-k: sort + limit."""
+    ds = _read(sf_dir, "part", ["p_partkey", "p_name", "p_retailprice"])
+    return ds.sort(["p_retailprice", "p_partkey"], descending=[True, False]).limit(10)
+
+
+def filter_orders_recent(sf_dir: str):
+    """Filter + project + aggregate (predicate applied in Arrow kernels)."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def flt(b: pa.Table) -> pa.Table:
+        import datetime
+
+        mask = pc.greater_equal(
+            b.column("o_orderdate"), pa.scalar(datetime.datetime(1997, 1, 1))
+        )
+        return b.filter(mask)
+
+    from ray.data.aggregate import Count, Sum
+
+    out = ds.map_batches(flt, batch_format="pyarrow").aggregate(
+        Sum("o_totalprice"), Count()
+    )
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "total": [round(out["sum(o_totalprice)"], 2)],
+            "n": [out["count()"]],
+        }
+    )
+
+
+def supplier_nation_region(sf_dir: str):
+    """Two-level broadcast join: supplier -> nation -> region, then rollup."""
+    import ray
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"])
+    region = _read(sf_dir, "region", ["r_regionkey", "r_name"])
+    n_tbl = pa.concat_tables([ray.get(r) for r in nation.to_arrow_refs()])
+    r_tbl = pa.concat_tables([ray.get(r) for r in region.to_arrow_refs()])
+    region_of_nation = {}
+    rname = dict(
+        zip(r_tbl.column("r_regionkey").to_pylist(), r_tbl.column("r_name").to_pylist())
+    )
+    for nk, rk in zip(
+        n_tbl.column("n_nationkey").to_pylist(), n_tbl.column("n_regionkey").to_pylist()
+    ):
+        region_of_nation[nk] = rname.get(rk, "")
+    ref = ray.put(region_of_nation)
+
+    class AttachRegion:
+        def __init__(self, ref):
+            import ray as _r
+
+            self.m = _r.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            rs = [self.m.get(k, "") for k in b.column("s_nationkey").to_pylist()]
+            return b.append_column("r_name", pa.array(rs, pa.string()))
+
+    supplier = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey", "s_acctbal"])
+    from ray.data.aggregate import Count, Sum
+
+    out = (
+        supplier.map_batches(
+            AttachRegion, fn_constructor_args=(ref,), batch_format="pyarrow",
+            concurrency=(1, 2),
+        )
+        .groupby("r_name")
+        .aggregate(Count(), Sum("s_acctbal"))
+    )
+    return out.map_batches(
+        _rename({"count()": "n_suppliers", "sum(s_acctbal)": "total_bal"}),
+        batch_format="pyarrow",
+    ).map_batches(_round_cols(["total_bal"]), batch_format="pyarrow")
+
+
+def events_by_type(sf_dir: str):
+    """Event-stream rollup: count + rounded sum/mean per type."""
+    from ray.data.aggregate import Count, Mean, Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    out = ds.groupby("event_type").aggregate(Count(), Sum("value"), Mean("value"))
+    return out.map_batches(
+        _rename(
+            {"count()": "n", "sum(value)": "total_value", "mean(value)": "avg_value"}
+        ),
+        batch_format="pyarrow",
+    ).map_batches(_round_cols(["total_value", "avg_value"], 4), batch_format="pyarrow")
+
+
+def events_daily_topusers(sf_dir: str):
+    """Time-bucketed aggregate + top-k: busiest (user, day) pairs."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def day_col(b: pa.Table) -> pa.Table:
+        days = pc.floor_temporal(b.column("ts"), unit="day")
+        return b.append_column("day", days)
+
+    from ray.data.aggregate import Count, Sum
+
+    out = (
+        ds.map_batches(day_col, batch_format="pyarrow")
+        .groupby(["user_id", "day"])
+        .aggregate(Count(), Sum("value"))
+    )
+    out = out.map_batches(
+        _rename({"count()": "n_events", "sum(value)": "day_value"}),
+        batch_format="pyarrow",
+    ).map_batches(_round_cols(["day_value"], 4), batch_format="pyarrow")
+    return out.sort(["n_events", "user_id", "day"], descending=[True, False, False]).limit(20)

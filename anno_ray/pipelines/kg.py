@@ -116,17 +116,18 @@ def run_extract_stage(
     return {"shards_total": len(files), "shards_run": len(pending), "shards_skipped": len(skipped)}
 
 
-def docs_dataset(out_dir: str):
+def docs_dataset(out_dir: str, columns: list[str] | None = None):
     import ray.data
 
-    return ray.data.read_parquet(os.path.join(out_dir, "docs"))
+    return ray.data.read_parquet(os.path.join(out_dir, "docs"), columns=columns)
 
 
 def run_canonicalize_stage(out_dir: str, *, mode: str = canon.MODE_CDCR) -> pa.Table:
     """Stage B: mentions -> canonical mapping table (also persisted)."""
     from ..stages.extract import mentions_table
 
-    docs = docs_dataset(out_dir)
+    # prune at the read: only url + the mentions column leave storage
+    docs = docs_dataset(out_dir, columns=["url", "mentions"])
     mentions = mentions_table(docs)
 
     # only PER/ORG/LOC surfaces participate in cross-doc clustering
@@ -135,7 +136,10 @@ def run_canonicalize_stage(out_dir: str, *, mode: str = canon.MODE_CDCR) -> pa.T
         return b.filter(mask)
 
     ner = mentions.map_batches(_ner_only, batch_format="pyarrow")
-    surfaces = canon.surface_groups(ner, type_col="label", surface_col="norm_surface")
+    surfaces_ds = canon.surface_groups(ner, type_col="label", surface_col="norm_surface")
+    # collect the (small) distinct-surface table ONCE; both the edge pass and
+    # the merge consume it, avoiding a second execution of the explode+groupby
+    surfaces = canon.collect_surfaces(surfaces_ds)
     edges = canon.fuzzy_edges(surfaces, mode=mode)
     mapping = canon.build_canonical_map(surfaces, edges)
 
@@ -270,9 +274,8 @@ def run_materialize_stage(out_dir: str, mapping: pa.Table) -> dict:
 
     register_for_ray()
     ref = ray.put(mapping)
-    docs = docs_dataset(out_dir)
 
-    mentions = mentions_table(docs)
+    mentions = mentions_table(docs_dataset(out_dir, columns=["url", "mentions"]))
     node_rows = mentions.map_batches(
         NodeRows, fn_constructor_args=(ref,), batch_format="pyarrow", concurrency=(1, 4)
     )
@@ -294,7 +297,7 @@ def run_materialize_stage(out_dir: str, mapping: pa.Table) -> dict:
 
     nodes = nodes.map_batches(_rename, batch_format="pyarrow")
 
-    triples = triples_table(docs)
+    triples = triples_table(docs_dataset(out_dir, columns=["url", "triples"]))
     edges = triples.map_batches(
         EdgeRows, fn_constructor_args=(ref,), batch_format="pyarrow", concurrency=(1, 4)
     )

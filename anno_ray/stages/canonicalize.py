@@ -183,6 +183,65 @@ def _bucket_edges(
     )
 
 
+def _edges_from_surface_table(
+    tbl: pa.Table,
+    mode: str,
+    threshold: float,
+    require_type_match: bool,
+    num_bands: int,
+    rows_per_band: int,
+    max_bucket: int,
+) -> pa.Table:
+    """Vectorized single-task edge computation: band all surfaces, group
+    buckets with one lexsort, score pairs inside each bucket. Avoids Ray's
+    per-group task overhead, which dominates when buckets are tiny."""
+    types = tbl.column("entity_type").to_pylist()
+    surfaces = tbl.column("norm_surface").to_pylist()
+    sigs = batch_signatures(surfaces, num_bands, rows_per_band)
+    bands = batch_band_hashes(sigs, num_bands, rows_per_band)  # (n, bands)
+    n = len(surfaces)
+    sim = string_similarity if mode == MODE_CDCR else jaccard_similarity
+    seen_pairs: set[tuple[int, int]] = set()
+    ea, eb, et_a, et_b = [], [], [], []
+    for band in range(num_bands):
+        col = bands[:, band]
+        order = np.argsort(col, kind="stable")
+        sorted_vals = col[order]
+        starts = np.flatnonzero(
+            np.r_[True, sorted_vals[1:] != sorted_vals[:-1]]
+        )
+        ends = np.r_[starts[1:], len(sorted_vals)]
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            members = order[s:e]
+            if len(members) > max_bucket:
+                members = np.sort(members)[:max_bucket]
+            for x in range(len(members)):
+                i = members[x]
+                for y in range(x + 1, len(members)):
+                    j = members[y]
+                    key = (i, j) if i < j else (j, i)
+                    if key in seen_pairs:
+                        continue
+                    seen_pairs.add(key)
+                    if require_type_match and types[i] != types[j]:
+                        continue
+                    if surfaces[i] == surfaces[j]:
+                        continue
+                    if sim(surfaces[i], surfaces[j]) >= threshold:
+                        ea.append(surfaces[i]); eb.append(surfaces[j])
+                        et_a.append(types[i]); et_b.append(types[j])
+    return pa.table(
+        {
+            "type_a": pa.array(et_a, pa.string()),
+            "surface_a": pa.array(ea, pa.string()),
+            "type_b": pa.array(et_b, pa.string()),
+            "surface_b": pa.array(eb, pa.string()),
+        }
+    )
+
+
 def fuzzy_edges(
     surfaces_ds,
     *,
@@ -192,11 +251,33 @@ def fuzzy_edges(
     num_bands: int = 5,
     rows_per_band: int = 3,
     max_bucket: int = 256,
+    max_task_surfaces: int = 2_000_000,
 ):
-    """Distinct surfaces Dataset -> similarity edge Dataset via LSH buckets."""
+    """Distinct surfaces -> similarity edges via LSH buckets.
+
+    Distinct-surface tables up to ``max_task_surfaces`` are scored in ONE
+    vectorized Ray task (per-group task overhead would otherwise dominate:
+    LSH buckets are tiny). Beyond that, the fully distributed band-groupby
+    path takes over.
+    """
+    import ray
+
     register_for_ray()
     if threshold is None:
         threshold = 0.5 if mode == MODE_CDCR else 0.7
+
+    surf_tbl = _to_table(surfaces_ds, ["entity_type", "norm_surface"])
+    if surf_tbl.num_rows <= max_task_surfaces:
+
+        @ray.remote
+        def _task(tbl):
+            return _edges_from_surface_table(
+                tbl, mode, threshold, require_type_match,
+                num_bands, rows_per_band, max_bucket,
+            )
+
+        return ray.get(_task.remote(surf_tbl))
+
     banded = surfaces_ds.map_batches(
         lambda b: _band_rows(b, num_bands, rows_per_band), batch_format="pyarrow"
     )
@@ -204,6 +285,11 @@ def fuzzy_edges(
         lambda g: _bucket_edges(g, mode, threshold, require_type_match, max_bucket),
         batch_format="pyarrow",
     )
+
+
+def collect_surfaces(surfaces_ds) -> pa.Table:
+    """Materialize the distinct-surface Dataset into one Arrow table."""
+    return _to_table(surfaces_ds, ["entity_type", "norm_surface", "sum(n_mentions)"])
 
 
 # --- 3. merge ----------------------------------------------------------------

@@ -1,0 +1,330 @@
+"""Deduplication suite for large-scale training-data pipelines.
+
+All operators are Ray-Data-native and shuffle-aware:
+
+- ``exact_dedup``       — content-hash partition + per-group first (one
+                          shuffle of (hash, id) pairs, not full rows);
+- ``minhash_lsh_pairs`` — shingle -> minhash -> band -> bucket groupby ->
+                          candidate pairs verified by signature similarity;
+- ``minhash_dedup``     — connected components over verified pairs -> keep
+                          min doc per cluster;
+- ``simhash64``         — 64-bit simhash over token hashes; near-dup pairs by
+                          banded equality (4x16-bit bands -> Hamming<=3-ish
+                          recall) verified by true Hamming distance;
+- ``ngram_jaccard_pairs`` — exact n-gram Jaccard verification for candidate
+                          pairs (the expensive step, run only inside buckets).
+
+Embedding-cosine near-dup lives in stages/similarity.py.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..core.minhash import batch_band_hashes, batch_signatures, signature_similarity
+from ..ray_utils import register_for_ray
+
+
+# --- exact dedup -------------------------------------------------------------
+
+def _content_hash_col(batch: pa.Table, text_col: str, id_col: str) -> pa.Table:
+    texts = batch.column(text_col).to_pylist()
+    hashes = [
+        hashlib.blake2b((t or "").encode("utf-8"), digest_size=16).hexdigest()
+        for t in texts
+    ]
+    return pa.table(
+        {
+            "content_hash": pa.array(hashes, pa.string()),
+            id_col: batch.column(id_col),
+        }
+    )
+
+
+def exact_dedup_ids(ds, *, text_col: str = "text", id_col: str = "doc_id"):
+    """Dataset -> (content_hash, keep_id=min id, n_copies). Shuffles only the
+    narrow (hash, id) projection."""
+    from ray.data.aggregate import Count, Min
+
+    register_for_ray()
+    hashed = ds.map_batches(
+        lambda b: _content_hash_col(b, text_col, id_col), batch_format="pyarrow"
+    )
+    out = hashed.groupby("content_hash").aggregate(Min(id_col), Count())
+    return out.map_batches(
+        lambda b: b.rename_columns(
+            [
+                {"min(%s)" % id_col: "keep_id", "count()": "n_copies"}.get(c, c)
+                for c in b.column_names
+            ]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+# --- minhash LSH near-dup ----------------------------------------------------
+
+def _sig_rows(
+    batch: pa.Table, text_col: str, id_col: str, num_bands: int, rows_per_band: int
+) -> pa.Table:
+    texts = [t or "" for t in batch.column(text_col).to_pylist()]
+    ids = batch.column(id_col).to_pylist()
+    sigs = batch_signatures(texts, num_bands, rows_per_band)
+    bands = batch_band_hashes(sigs, num_bands, rows_per_band)
+    n = len(texts)
+    out_id, out_band, out_hash, out_sig = [], [], [], []
+    for b in range(num_bands):
+        out_id.extend(ids)
+        out_band.extend([b] * n)
+        out_hash.extend(int(x) for x in bands[:, b])
+        out_sig.extend(sigs[i].tobytes() for i in range(n))
+    return pa.table(
+        {
+            id_col: pa.array(out_id),
+            "band": pa.array(out_band, pa.int32()),
+            "band_hash": pa.array(out_hash, pa.uint64()),
+            "sig": pa.array(out_sig, pa.binary()),
+        }
+    )
+
+
+def minhash_lsh_pairs(
+    ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_bands: int = 5,
+    rows_per_band: int = 3,
+    threshold: float = 0.7,
+    max_bucket: int = 512,
+):
+    """Near-dup candidate pairs (id_a < id_b, est_jaccard >= threshold)."""
+    register_for_ray()
+    rows = ds.map_batches(
+        lambda b: _sig_rows(b, text_col, id_col, num_bands, rows_per_band),
+        batch_format="pyarrow",
+    )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = group.column(id_col).to_pylist()
+        sigs = [np.frombuffer(s, dtype=np.uint64) for s in group.column("sig").to_pylist()]
+        n = len(ids)
+        if n > max_bucket:
+            order = sorted(range(n), key=lambda i: ids[i])[:max_bucket]
+            ids = [ids[i] for i in order]
+            sigs = [sigs[i] for i in order]
+            n = max_bucket
+        a_out, b_out, sim_out = [], [], []
+        for i in range(n):
+            for j in range(i + 1, n):
+                if ids[i] == ids[j]:
+                    continue
+                sim = signature_similarity(list(sigs[i]), list(sigs[j]))
+                if sim >= threshold:
+                    lo, hi = sorted((ids[i], ids[j]))
+                    a_out.append(lo)
+                    b_out.append(hi)
+                    sim_out.append(sim)
+        return pa.table(
+            {
+                "id_a": pa.array(a_out),
+                "id_b": pa.array(b_out),
+                "est_jaccard": pa.array(sim_out, pa.float64()),
+            }
+        )
+
+    pairs = rows.groupby(["band", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pyarrow"
+    )
+    # a pair can surface from several bands -> dedup by (id_a, id_b)
+    from ray.data.aggregate import Max
+
+    out = pairs.groupby(["id_a", "id_b"]).aggregate(Max("est_jaccard"))
+    return out.map_batches(
+        lambda b: b.rename_columns(
+            [{"max(est_jaccard)": "est_jaccard"}.get(c, c) for c in b.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def minhash_dedup_ids(ds, **kwargs):
+    """Cluster near-dup pairs (connected components) -> (doc_id, keep_id)."""
+    import ray
+
+    from ..core.unionfind import UnionFind
+
+    pairs_ds = minhash_lsh_pairs(ds, **kwargs)
+    tbl = pa.concat_tables(
+        [ray.get(r) for r in pairs_ds.to_arrow_refs()], promote_options="permissive"
+    )
+    ids: dict = {}
+    order: list = []
+    a_list = tbl.column("id_a").to_pylist() if tbl.num_rows else []
+    b_list = tbl.column("id_b").to_pylist() if tbl.num_rows else []
+    for x in a_list + b_list:
+        if x not in ids:
+            ids[x] = len(order)
+            order.append(x)
+    uf = UnionFind(len(order))
+    for x, y in zip(a_list, b_list):
+        uf.union(ids[x], ids[y])
+    rep: dict[int, object] = {}
+    for x in order:
+        r = uf.find(ids[x])
+        if r not in rep or x < rep[r]:
+            rep[r] = x
+    rows = sorted((x, rep[uf.find(ids[x])]) for x in order)
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows]),
+            "keep_id": pa.array([r[1] for r in rows]),
+        }
+    )
+
+
+# --- simhash -----------------------------------------------------------------
+
+def _simhash64(tokens: list[str]) -> int:
+    acc = np.zeros(64, dtype=np.int64)
+    for tok in tokens:
+        h = int.from_bytes(
+            hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest(), "big"
+        )
+        bits = np.unpackbits(
+            np.frombuffer(h.to_bytes(8, "big"), dtype=np.uint8)
+        ).astype(np.int64)
+        acc += bits * 2 - 1
+    out = 0
+    for i, v in enumerate(acc):
+        if v > 0:
+            out |= 1 << (63 - i)
+    return out
+
+
+def simhash_table(ds, *, text_col: str = "text", id_col: str = "doc_id"):
+    """(id, simhash uint64, 4x16-bit band values for bucketing)."""
+    register_for_ray()
+
+    def kernel(b: pa.Table) -> pa.Table:
+        texts = [t or "" for t in b.column(text_col).to_pylist()]
+        hashes = [_simhash64(t.lower().split()) for t in texts]
+        cols = {
+            id_col: b.column(id_col),
+            "simhash": pa.array(hashes, pa.uint64()),
+        }
+        for band in range(4):
+            cols[f"band{band}"] = pa.array(
+                [(h >> (band * 16)) & 0xFFFF for h in hashes], pa.uint16()
+            )
+        return pa.table(cols)
+
+    return ds.map_batches(kernel, batch_format="pyarrow")
+
+
+def simhash_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3):
+    """Near-dup pairs by banded simhash (any equal 16-bit band -> candidate;
+    verified by true Hamming distance)."""
+    sims = simhash_table(ds, text_col=text_col, id_col=id_col)
+
+    def band_rows(b: pa.Table) -> pa.Table:
+        ids, hs = b.column(id_col).to_pylist(), b.column("simhash").to_pylist()
+        out_id, out_h, out_band, out_val = [], [], [], []
+        for band in range(4):
+            vals = b.column(f"band{band}").to_pylist()
+            out_id.extend(ids)
+            out_h.extend(hs)
+            out_band.extend([band] * len(ids))
+            out_val.extend(vals)
+        return pa.table(
+            {
+                id_col: pa.array(out_id),
+                "simhash": pa.array(out_h, pa.uint64()),
+                "band": pa.array(out_band, pa.int32()),
+                "val": pa.array(out_val, pa.uint16()),
+            }
+        )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = group.column(id_col).to_pylist()
+        hs = group.column("simhash").to_pylist()
+        a_out, b_out, d_out = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if ids[i] == ids[j]:
+                    continue
+                d = bin(hs[i] ^ hs[j]).count("1")
+                if d <= max_hamming:
+                    lo, hi = sorted((ids[i], ids[j]))
+                    a_out.append(lo)
+                    b_out.append(hi)
+                    d_out.append(d)
+        return pa.table(
+            {
+                "id_a": pa.array(a_out),
+                "id_b": pa.array(b_out),
+                "hamming": pa.array(d_out, pa.int32()),
+            }
+        )
+
+    pairs = (
+        sims.map_batches(band_rows, batch_format="pyarrow")
+        .groupby(["band", "val"])
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+    )
+    from ray.data.aggregate import Min
+
+    out = pairs.groupby(["id_a", "id_b"]).aggregate(Min("hamming"))
+    return out.map_batches(
+        lambda b: b.rename_columns(
+            [{"min(hamming)": "hamming"}.get(c, c) for c in b.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+# --- exact n-gram Jaccard verification --------------------------------------
+
+def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
+    """Exact char-n-gram Jaccard (the verification scorer for candidates)."""
+    sa = {a[i : i + n] for i in range(max(1, len(a) - n + 1))}
+    sb = {b[i : i + n] for i in range(max(1, len(b) - n + 1))}
+    if not sa and not sb:
+        return 1.0
+    union = len(sa | sb)
+    return len(sa & sb) / union if union else 0.0
+
+
+def verify_pairs_ngram_jaccard(
+    ds, pairs, *, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+):
+    """Join candidate pairs back to texts (broadcast) and score exactly.
+
+    ``pairs`` is a small table/Dataset of (id_a, id_b); texts are broadcast
+    as a dict — suitable when the candidate-touched docs fit in memory, which
+    LSH guarantees for reasonable thresholds (else shard by id range).
+    """
+    import ray
+
+    register_for_ray()
+    if not isinstance(pairs, pa.Table):
+        pairs = pa.concat_tables(
+            [ray.get(r) for r in pairs.to_arrow_refs()], promote_options="permissive"
+        )
+    need = set(pairs.column("id_a").to_pylist()) | set(pairs.column("id_b").to_pylist())
+
+    texts: dict = {}
+    for ref in ds.select_columns([id_col, text_col]).to_arrow_refs():
+        t = ray.get(ref)
+        for i, txt in zip(t.column(id_col).to_pylist(), t.column(text_col).to_pylist()):
+            if i in need:
+                texts[i] = txt or ""
+    sims = [
+        ngram_jaccard(texts.get(a, ""), texts.get(b, ""), n)
+        for a, b in zip(pairs.column("id_a").to_pylist(), pairs.column("id_b").to_pylist())
+    ]
+    return pairs.append_column("jaccard", pa.array(sims, pa.float64()))

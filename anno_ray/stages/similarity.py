@@ -1,0 +1,289 @@
+"""Similarity search over embedding columns (list<float>).
+
+- ``cosine_topk``: brute-force exact top-k against a broadcast query matrix —
+  one numpy matmul per batch (the baseline; exact).
+- ``lsh_cosine_topk``: random-hyperplane LSH bucketing — the scale path:
+  only vectors sharing a bucket with a query are scored.
+- ``embedding_near_dup_pairs``: near-duplicate detection over the corpus
+  itself via LSH buckets + per-bucket cosine verification.
+
+All kernels are vectorized; query matrices are shipped once via ``ray.put``
+and loaded per actor in ``__init__`` (broadcast join pattern).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..ray_utils import register_for_ray
+
+
+def _to_matrix(col) -> np.ndarray:
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float32)
+    n = len(arr)
+    if n == 0:
+        return np.zeros((0, 0), dtype=np.float32)
+    dim = len(flat) // n
+    return flat.reshape(n, dim)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+class CosineTopK:
+    """Actor-pool kernel: per-batch matmul against the broadcast queries."""
+
+    def __init__(self, query_ref, k: int, id_col: str, vec_col: str):
+        import ray
+
+        queries = ray.get(query_ref) if not isinstance(query_ref, tuple) else query_ref
+        self.query_ids, qm = queries
+        self.qm = _normalize(np.asarray(qm, dtype=np.float32))  # (q, d)
+        self.k = k
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_pylist()
+        m = _normalize(_to_matrix(batch.column(self.vec_col)))  # (n, d)
+        if m.shape[0] == 0:
+            return pa.table(
+                {"query_id": pa.array([], pa.int64()),
+                 "neighbor_id": pa.array([], pa.int64()),
+                 "cosine": pa.array([], pa.float64())}
+            )
+        sims = self.qm @ m.T  # (q, n)
+        q_out, n_out, s_out = [], [], []
+        k = min(self.k, m.shape[0])
+        for qi in range(sims.shape[0]):
+            # per-block partial top-k; final top-k happens in the combine step
+            idx = np.argpartition(-sims[qi], k - 1)[:k]
+            for j in idx:
+                q_out.append(self.query_ids[qi])
+                n_out.append(ids[j])
+                s_out.append(float(sims[qi, j]))
+        return pa.table(
+            {
+                "query_id": pa.array(q_out, pa.int64()),
+                "neighbor_id": pa.array(n_out, pa.int64()),
+                "cosine": pa.array(s_out, pa.float64()),
+            }
+        )
+
+
+def cosine_topk(
+    ds,
+    query_ids: list[int],
+    query_matrix,
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+):
+    """Exact top-k neighbors for each query vector. Two-phase: per-block
+    partial top-k inside the actor pool, then a final combine of the (tiny)
+    candidate set on the driver."""
+    import ray
+
+    register_for_ray()
+    ref = ray.put((list(query_ids), np.asarray(query_matrix, dtype=np.float32)))
+    partial = ds.map_batches(
+        CosineTopK,
+        fn_constructor_args=(ref, k, id_col, vec_col),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+    tbl = pa.concat_tables(
+        [ray.get(r) for r in partial.to_arrow_refs()], promote_options="permissive"
+    )
+    import collections
+
+    best: dict[int, list[tuple[float, int]]] = collections.defaultdict(list)
+    for q, n, s in zip(
+        tbl.column("query_id").to_pylist(),
+        tbl.column("neighbor_id").to_pylist(),
+        tbl.column("cosine").to_pylist(),
+    ):
+        if exclude_self and q == n:
+            continue
+        best[q].append((s, n))
+    rows = []
+    for q in sorted(best):
+        # deterministic tie-break: higher cosine first, then smaller id
+        top = sorted(best[q], key=lambda t: (-round(t[0], 6), t[1]))[:k]
+        for rank, (s, n) in enumerate(top, 1):
+            rows.append((q, rank, n, round(s, 6)))
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows], pa.int64()),
+            "rank": pa.array([r[1] for r in rows], pa.int64()),
+            "neighbor_id": pa.array([r[2] for r in rows], pa.int64()),
+            "cosine": pa.array([r[3] for r in rows], pa.float64()),
+        }
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_planes, dim).astype(np.float32)
+
+
+def lsh_cosine_topk(
+    ds,
+    query_ids: list[int],
+    query_matrix,
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+):
+    """Approximate top-k: random-hyperplane buckets; only bucket-sharing
+    vectors are scored. ~(2^n_planes / n_tables)x less compute at high
+    recall for clustered data."""
+    import ray
+
+    register_for_ray()
+    qm = np.asarray(query_matrix, dtype=np.float32)
+    dim = qm.shape[1]
+    planes = [_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
+    q_sigs = [
+        (np.sign(qm @ p.T) > 0).astype(np.uint8) for p in planes
+    ]  # n_tables x (q, planes)
+    # query bucket sets per table
+    q_buckets = []
+    for t in range(n_tables):
+        packed = np.packbits(q_sigs[t], axis=1)[:, 0]
+        q_buckets.append({int(b) for b in packed})
+    planes_ref = ray.put(planes)
+    qb_ref = ray.put(q_buckets)
+
+    class BucketFilter:
+        def __init__(self, planes_ref, qb_ref):
+            self.planes = ray.get(planes_ref)
+            self.q_buckets = ray.get(qb_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            m = _to_matrix(b.column(vec_col))
+            if m.shape[0] == 0:
+                return b.slice(0, 0)
+            keep = np.zeros(m.shape[0], dtype=bool)
+            for t, p in enumerate(self.planes):
+                sig = (np.sign(m @ p.T) > 0).astype(np.uint8)
+                packed = np.packbits(sig, axis=1)[:, 0]
+                keep |= np.isin(packed, list(self.q_buckets[t]))
+            return b.filter(pa.array(keep))
+
+    candidates = ds.map_batches(
+        BucketFilter,
+        fn_constructor_args=(planes_ref, qb_ref),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+    return cosine_topk(
+        candidates, query_ids, qm, k=k, id_col=id_col, vec_col=vec_col
+    )
+
+
+def embedding_near_dup_pairs(
+    ds,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 10,
+    n_tables: int = 6,
+    seed: int = 42,
+    max_bucket: int = 1024,
+):
+    """Corpus self-join near-dup: LSH bucket groupby -> per-bucket cosine."""
+    import ray
+
+    register_for_ray()
+
+    def band_rows(b: pa.Table) -> pa.Table:
+        m = _to_matrix(b.column(vec_col))
+        ids = b.column(id_col).to_pylist()
+        if m.shape[0] == 0:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()),
+                 "table_id": pa.array([], pa.int32()),
+                 "bucket": pa.array([], pa.int64()),
+                 "vec": pa.array([], pa.binary())}
+            )
+        dim = m.shape[1]
+        out_id, out_t, out_b, out_v = [], [], [], []
+        mn = _normalize(m)
+        for t in range(n_tables):
+            p = _hyperplanes(dim, n_planes, seed + t)
+            sig = (np.sign(m @ p.T) > 0).astype(np.uint8)
+            packed = np.packbits(sig, axis=1)
+            buckets = packed[:, 0].astype(np.int64)
+            if n_planes > 8:
+                buckets = buckets * 256 + packed[:, 1].astype(np.int64)
+            out_id.extend(ids)
+            out_t.extend([t] * len(ids))
+            out_b.extend(int(x) for x in buckets)
+            out_v.extend(mn[i].tobytes() for i in range(len(ids)))
+        return pa.table(
+            {
+                id_col: pa.array(out_id, pa.int64()),
+                "table_id": pa.array(out_t, pa.int32()),
+                "bucket": pa.array(out_b, pa.int64()),
+                "vec": pa.array(out_v, pa.binary()),
+            }
+        )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = group.column(id_col).to_pylist()
+        vecs = np.stack(
+            [np.frombuffer(v, dtype=np.float32) for v in group.column("vec").to_pylist()]
+        ) if group.num_rows else np.zeros((0, 1), np.float32)
+        n = len(ids)
+        if n > max_bucket:
+            order = sorted(range(n), key=lambda i: ids[i])[:max_bucket]
+            ids = [ids[i] for i in order]
+            vecs = vecs[order]
+            n = max_bucket
+        a_out, b_out, s_out = [], [], []
+        if n > 1:
+            sims = vecs @ vecs.T
+            ii, jj = np.triu_indices(n, k=1)
+            hits = sims[ii, jj] >= threshold
+            for i, j, s in zip(ii[hits], jj[hits], sims[ii, jj][hits]):
+                if ids[i] == ids[j]:
+                    continue
+                lo, hi = sorted((ids[i], ids[j]))
+                a_out.append(lo)
+                b_out.append(hi)
+                s_out.append(round(float(s), 6))
+        return pa.table(
+            {
+                "id_a": pa.array(a_out, pa.int64()),
+                "id_b": pa.array(b_out, pa.int64()),
+                "cosine": pa.array(s_out, pa.float64()),
+            }
+        )
+
+    pairs = (
+        ds.map_batches(band_rows, batch_format="pyarrow")
+        .groupby(["table_id", "bucket"])
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+    )
+    from ray.data.aggregate import Max
+
+    out = pairs.groupby(["id_a", "id_b"]).aggregate(Max("cosine"))
+    return out.map_batches(
+        lambda b: b.rename_columns(
+            [{"max(cosine)": "cosine"}.get(c, c) for c in b.column_names]
+        ),
+        batch_format="pyarrow",
+    )

@@ -6,20 +6,25 @@ materialize layout of the north rule:
 1. partition boundaries are derived DETERMINISTICALLY from a boundary-key
    list (e.g. the canonical mapping's node ids) — not from Ray's internal
    sort sampling, which varies run to run;
-2. rows are routed to their range partition inside ``map_batches``
-   (np.searchsorted — vectorized);
-3. ``groupby(partition).map_groups`` sorts each partition's rows and writes
-   ``part=<k>/data.parquet`` + a lineage manifest; bytes are identical across
-   re-runs because both membership and in-partition order are deterministic;
-4. global order = concatenation of partitions in id order.
-
-Each partition is written independently -> a failed run resumes by re-running
-only partitions without manifests.
+2. a TWO-PHASE filesystem shuffle replaces an object-store sort:
+   - phase 1 (map): each input block splits its rows by range partition and
+     appends partial parquet files under ``_spill/part=<k>/``;
+   - phase 2 (merge): one Ray task per partition reads that partition's
+     partials, sorts on (sort_keys + all remaining columns) for a total
+     deterministic order, and writes ``part=<k>/data.parquet`` + manifest.
+   This is the pattern that survives 100 TB: partials land next to the
+   output (object store in production), merges are independent + resumable
+   per partition, and no single shuffle materializes the whole table.
+3. global order = concatenation of partitions in id order; bytes are
+   identical across re-runs because membership and in-partition order are
+   both deterministic.
 """
 
 from __future__ import annotations
 
-import bisect
+import os
+import shutil
+import uuid
 
 import numpy as np
 import pyarrow as pa
@@ -30,7 +35,7 @@ from . import manifests as mf
 
 
 def boundaries_from_keys(keys: list[str], num_partitions: int) -> list[str]:
-    """K-1 deterministic range cuts from a sorted (or sortable) key sample."""
+    """K-1 deterministic range cuts from a sortable key universe."""
     if num_partitions <= 1 or not keys:
         return []
     ks = sorted(set(keys))
@@ -42,13 +47,40 @@ def boundaries_from_keys(keys: list[str], num_partitions: int) -> list[str]:
     return sorted(set(cuts))
 
 
-def _assign_partitions(batch: pa.Table, key: str, cuts: list[str]) -> pa.Table:
-    keys = batch.column(key).to_pylist()
-    if cuts:
-        pids = np.searchsorted(np.array(cuts, dtype=object), np.array(keys, dtype=object), side="right")
-    else:
-        pids = np.zeros(len(keys), dtype=np.int64)
-    return batch.append_column("__part", pa.array(pids.astype(np.int64), pa.int64()))
+class _SpillWriter:
+    """Phase-1 kernel: split each batch by range partition, append partials."""
+
+    def __init__(self, spill_dir: str, key: str, cuts: list[str]):
+        self.spill_dir = spill_dir
+        self.key = key
+        self.cuts = np.array(cuts, dtype=object) if cuts else None
+        self.writer_id = uuid.uuid4().hex[:12]
+        self.seq = 0
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        if batch.num_rows == 0:
+            return pa.table({"rows": pa.array([0], pa.int64())})
+        keys = np.array(batch.column(self.key).to_pylist(), dtype=object)
+        if self.cuts is not None:
+            pids = np.searchsorted(self.cuts, keys, side="right")
+        else:
+            pids = np.zeros(len(keys), dtype=np.int64)
+        order = np.argsort(pids, kind="stable")
+        sorted_pids = pids[order]
+        starts = np.flatnonzero(np.r_[True, sorted_pids[1:] != sorted_pids[:-1]])
+        ends = np.r_[starts[1:], len(sorted_pids)]
+        for s, e in zip(starts, ends):
+            pid = int(sorted_pids[s])
+            part = batch.take(pa.array(order[s:e]))
+            pdir = os.path.join(self.spill_dir, f"part={pid:05d}")
+            os.makedirs(pdir, exist_ok=True)
+            self.seq += 1
+            pq.write_table(
+                part, os.path.join(pdir, f"{self.writer_id}_{self.seq:06d}.parquet")
+            )
+        return pa.table({"rows": pa.array([batch.num_rows], pa.int64())})
 
 
 def write_sorted(
@@ -63,50 +95,74 @@ def write_sorted(
     resume: bool = True,
 ) -> dict:
     """Write a Dataset as deterministic sorted range partitions + manifests."""
+    import ray
+
     register_for_ray()
     pk = partition_key or sort_keys[0]
-    cuts = boundaries_from_keys(boundary_keys or [], num_partitions) if boundary_keys else []
+    cuts = (
+        boundaries_from_keys(boundary_keys or [], num_partitions)
+        if boundary_keys
+        else []
+    )
+    n_parts = len(cuts) + 1
 
     done = mf.completed_partitions(out_dir, stage) if resume else {}
+    spill_dir = os.path.join(out_dir, stage, "_spill")
+    shutil.rmtree(spill_dir, ignore_errors=True)
 
-    def write_group(group: pa.Table) -> pa.Table:
-        if group.num_rows == 0:
-            return pa.table({"partition_id": pa.array([], pa.string()),
-                             "rows": pa.array([], pa.int64())})
-        pid_val = group.column("__part")[0].as_py()
-        pid = f"{pid_val:05d}"
-        group = group.drop_columns(["__part"])
-        order = pc.sort_indices(
-            group, sort_keys=[(k, "ascending") for k in sort_keys]
-        )
-        group = group.take(order)
-        if pid in done:
-            return pa.table({"partition_id": pa.array([pid], pa.string()),
-                             "rows": pa.array([0], pa.int64())})
-        mf.write_partition(
-            out_dir, stage, pid, group,
-            inputs=[f"range<{pid}>"],
-            metrics={"rows": group.num_rows},
-        )
-        return pa.table({"partition_id": pa.array([pid], pa.string()),
-                         "rows": pa.array([group.num_rows], pa.int64())})
-
-    routed = ds.map_batches(
-        lambda b: _assign_partitions(b, pk, cuts), batch_format="pyarrow"
+    # phase 1: spill partials (streaming; consumes the dataset once)
+    spilled = ds.map_batches(
+        _SpillWriter,
+        fn_constructor_args=(spill_dir, pk, cuts),
+        batch_format="pyarrow",
+        concurrency=(1, 16),
     )
-    stats = routed.groupby("__part").map_groups(write_group, batch_format="pyarrow")
-    rows = stats.to_pandas()
+    total_in = sum(r["rows"] for r in spilled.take_all())
+
+    # phase 2: one merge task per partition (independent -> resumable)
+    @ray.remote
+    def merge_partition(pid: int) -> int:
+        import pyarrow.parquet as pq
+
+        pid_s = f"{pid:05d}"
+        pdir = os.path.join(spill_dir, f"part={pid_s}")
+        if not os.path.isdir(pdir):
+            tbl = None
+        else:
+            files = sorted(os.listdir(pdir))
+            tables = [pq.read_table(os.path.join(pdir, f)) for f in files]
+            tbl = pa.concat_tables(tables) if tables else None
+        if tbl is None or tbl.num_rows == 0:
+            return 0
+        # total deterministic order: sort keys first, then every other column
+        all_keys = list(sort_keys) + [
+            c for c in tbl.column_names if c not in sort_keys
+        ]
+        order = pc.sort_indices(
+            tbl, sort_keys=[(k, "ascending") for k in all_keys]
+        )
+        tbl = tbl.take(order)
+        mf.write_partition(
+            out_dir, stage, pid_s, tbl,
+            inputs=[f"range<{pid_s}>"],
+            metrics={"rows": tbl.num_rows},
+        )
+        return tbl.num_rows
+
+    pending = [p for p in range(n_parts) if f"{p:05d}" not in done]
+    written = ray.get([merge_partition.remote(p) for p in pending])
+    shutil.rmtree(spill_dir, ignore_errors=True)
     return {
         "stage": stage,
-        "partitions": int(rows.shape[0]),
-        "rows_written": int(rows["rows"].sum()) if rows.shape[0] else 0,
+        "partitions": n_parts,
+        "rows_in": int(total_in),
+        "rows_written": int(sum(written)),
+        "partitions_skipped": n_parts - len(pending),
     }
 
 
 def read_stage(out_dir: str, stage: str):
     """Read a written stage back as a Dataset (partition order = key order)."""
-    import os
-
     import ray.data
 
     base = os.path.join(out_dir, stage)

@@ -1,0 +1,181 @@
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+   "kg_pages": N, "kg_pages_per_sec": X}
+
+``--scaling`` runs the flagship KG pipeline twice in FRESH processes at
+num_cpus = N/4 and N (default 8 and 32) on the same input and reports both
+throughputs + scaling efficiency (the two-cluster-size criterion, evidenced
+via parallelism levels per the driver note).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# pages corpus sized by sf tier (sf0.1 -> 24k pages, ~100 MB of html)
+_PAGES_BY_SF = {"sf0.001": 300, "sf0.01": 3000, "sf0.1": 24000}
+
+
+def _sf_name() -> str:
+    return os.path.basename(SF_DIR.rstrip("/")) or "sf0.1"
+
+
+def pages_dir(n_pages: int) -> str:
+    """Deterministic cached synthetic CC-pages corpus (seed 42)."""
+    out = f"/tmp/anno_bench_pages_{n_pages}"
+    marker = os.path.join(out, "_DONE")
+    if not os.path.exists(marker):
+        from anno_ray.fixtures.pages import write_pages_parquet
+
+        write_pages_parquet(out, n_pages, seed=42, pages_per_file=max(250, n_pages // 64))
+        with open(marker, "w", encoding="utf-8") as f:
+            f.write("ok")
+    return out
+
+
+def run_kg(pages: str, out_dir: str) -> float:
+    from anno_ray.pipelines.kg import run_kg_pipeline
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.time()
+    run_kg_pipeline(pages, out_dir, resume=False)
+    return time.time() - t0
+
+
+def bench_queries(sf_dir: str) -> dict[str, float]:
+    """Headline operator timings (each consumes its Dataset fully)."""
+    from anno_ray.functions import docqueries as dq
+    from anno_ray.functions import relational as rel
+
+    def consume(res) -> None:
+        import ray.data
+
+        if isinstance(res, ray.data.Dataset):
+            res.materialize()
+
+    out: dict[str, float] = {}
+    for name, fn in [
+        ("agg_lineitem_pricing", rel.agg_lineitem_pricing),
+        ("join_orders_customer_segment", rel.join_orders_customer_segment),
+        ("events_daily_topusers", rel.events_daily_topusers),
+        ("top_words", dq.top_words),
+        ("minhash_near_dups", dq.minhash_near_dups),
+        ("simhash_near_dups", dq.simhash_near_dups),
+        ("ann_cosine_topk", dq.ann_cosine_topk),
+        ("quality_by_lang", dq.quality_by_lang),
+    ]:
+        t0 = time.time()
+        consume(fn(sf_dir))
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def _scaling_child(num_cpus: int, pages: str, out_dir: str) -> float:
+    """Run the KG pipeline in a FRESH process with its own Ray instance."""
+    code = (
+        "import ray, time, json, sys; sys.path.insert(0, %r); "
+        "ray.init(address='local', num_cpus=%d, include_dashboard=False, log_to_driver=False); "
+        "from bench import run_kg; "
+        "dt = run_kg(%r, %r); print('BENCH_SECONDS=%%.3f' %% dt); ray.shutdown()"
+        % (REPO, num_cpus, pages, out_dir)
+    )
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("RAY_ADDRESS", None)  # force a fresh local instance per child
+    res = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, env=env
+    )
+    for line in res.stdout.splitlines():
+        if line.startswith("BENCH_SECONDS="):
+            return float(line.split("=")[1])
+    raise RuntimeError(
+        f"scaling child (num_cpus={num_cpus}) failed:\n{res.stdout[-2000:]}\n{res.stderr[-2000:]}"
+    )
+
+
+def main() -> None:
+    scaling = "--scaling" in sys.argv
+    sf = _sf_name()
+    n_pages = _PAGES_BY_SF.get(sf, max(300, int(24000 * (0.0 if sf == "sf0" else 1.0))))
+    pages = pages_dir(n_pages)
+
+    if scaling:
+        lo = max(2, NUM_CPUS // 4)
+        hi = NUM_CPUS
+        t_lo = _scaling_child(lo, pages, f"/tmp/anno_bench_kg_scale{lo}")
+        t_hi = _scaling_child(hi, pages, f"/tmp/anno_bench_kg_scale{hi}")
+        thr_lo = n_pages / t_lo
+        thr_hi = n_pages / t_hi
+        eff = (thr_hi / thr_lo) / (hi / lo)
+        print(
+            json.dumps(
+                {
+                    "metric": "kg_pipeline_scaling",
+                    "value": round(eff, 3),
+                    "unit": "efficiency",
+                    "sf": sf,
+                    "kg_pages": n_pages,
+                    "num_cpus_lo": lo,
+                    "num_cpus_hi": hi,
+                    "seconds_lo": round(t_lo, 2),
+                    "seconds_hi": round(t_hi, 2),
+                    "pages_per_sec_lo": round(thr_lo, 1),
+                    "pages_per_sec_hi": round(thr_hi, 1),
+                    "scaling_efficiency": round(eff, 3),
+                }
+            )
+        )
+        return
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            log_to_driver=False,
+        )
+
+    queries: dict[str, float] = {}
+    t_total0 = time.time()
+    t0 = time.time()
+    run_kg(pages, "/tmp/anno_bench_kg")
+    kg_sec = time.time() - t0
+    queries["kg_pipeline"] = round(kg_sec, 3)
+    queries.update(bench_queries(SF_DIR))
+    total = time.time() - t_total0
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_pipelines_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+                "num_cpus": NUM_CPUS,
+                "kg_pages": n_pages,
+                "kg_pages_per_sec": round(n_pages / kg_sec, 1),
+            }
+        )
+    )
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

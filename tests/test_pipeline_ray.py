@@ -1,0 +1,178 @@
+"""Ray-based pipeline tests: extract stage, canonicalization, materialize,
+resume, and the triple P/R gate over synthetic CC-style pages."""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import os
+import shutil
+
+import pyarrow as pa
+import pytest
+
+from anno_ray.fixtures.pages import write_pages_parquet
+
+N_PAGES = 120
+PAGES_DIR = "/tmp/anno_test_pages"
+OUT_DIR = "/tmp/anno_test_kg"
+
+
+@pytest.fixture(scope="module")
+def pages_dir(ray_session):
+    if not os.path.exists(os.path.join(PAGES_DIR, "_DONE")):
+        write_pages_parquet(PAGES_DIR, N_PAGES, seed=42, pages_per_file=30)
+        open(os.path.join(PAGES_DIR, "_DONE"), "w").close()
+    return PAGES_DIR
+
+
+@pytest.fixture(scope="module")
+def kg_out(pages_dir):
+    from anno_ray.pipelines.kg import run_kg_pipeline
+
+    shutil.rmtree(OUT_DIR, ignore_errors=True)
+    stats = run_kg_pipeline(pages_dir, OUT_DIR, resume=False)
+    return OUT_DIR, stats
+
+
+def _all_parquet(d):
+    return sorted(glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True))
+
+
+def _hash_dir(d):
+    h = hashlib.blake2b()
+    for f in _all_parquet(d):
+        with open(f, "rb") as fh:
+            h.update(fh.read())
+    return h.hexdigest()
+
+
+def test_extract_stage_writes_manifests(kg_out):
+    out, stats = kg_out
+    assert stats["extract"]["shards_run"] == 4
+    manifests = os.listdir(os.path.join(out, "docs", "_manifests"))
+    assert len(manifests) == 4
+    import json
+
+    m = json.load(open(os.path.join(out, "docs", "_manifests", manifests[0])))
+    assert m["num_rows"] > 0 and m["content_hash"] and m["inputs"]
+
+
+def test_extract_text_byte_identical_to_core(kg_out, pages_dir):
+    """The pipeline's extracted text must equal the pinned core extractor."""
+    import duckdb
+
+    from anno_ray.core.html import resolve_content
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT url, html FROM read_parquet('{pages_dir}/*.parquet') LIMIT 20"
+    ).fetchall()
+    # re-run the fused kernel path over the same rows
+    from anno_ray.stages.extract import text_batch
+
+    tbl = pa.table(
+        {
+            "url": pa.array([r[0] for r in rows]),
+            "html": pa.array([r[1] for r in rows], pa.binary()),
+        }
+    )
+    out = text_batch(tbl)
+    for url, html, text in zip(
+        [r[0] for r in rows], [r[1] for r in rows], out.column("text").to_pylist()
+    ):
+        assert text == resolve_content(html.decode("utf-8"))
+
+
+def test_nodes_edges_sorted_and_consistent(kg_out):
+    import duckdb
+
+    out, _ = kg_out
+    con = duckdb.connect()
+    nodes = con.execute(
+        f"SELECT node_id FROM read_parquet('{out}/nodes/part=*/data.parquet')"
+    ).fetchall()
+    assert nodes == sorted(nodes)
+    edges = con.execute(
+        f"SELECT subj_node, pred, obj_node FROM read_parquet('{out}/edges/part=*/data.parquet')"
+    ).fetchall()
+    assert edges == sorted(edges)
+    # every coref edge endpoint that is a node id resolves to a node
+    n_nodes = con.execute(
+        f"SELECT count(*) FROM read_parquet('{out}/nodes/part=*/data.parquet')"
+    ).fetchone()[0]
+    assert n_nodes > 0
+
+
+def test_triple_pr_gate_against_reference_semantics(kg_out, pages_dir):
+    """P/R >= 0.95 gate: pipeline triples vs independently computed gold
+    triples (core reimplementation verified char-exact against the compiled
+    reference harnesses in tests/golden)."""
+    import duckdb
+
+    from anno_ray.core import stacked
+    from anno_ray.core.document import process_document
+    from anno_ray.functions.eval import triple_pr
+
+    out, _ = kg_out
+    con = duckdb.connect()
+    pred = con.execute(
+        f"SELECT url, subj, pred, obj FROM read_parquet('{out}/edges/part=*/data.parquet')"
+    ).fetch_arrow_table()
+
+    # gold: drive the per-doc core directly (no Ray) over the same pages
+    rows = con.execute(
+        f"SELECT url, html FROM read_parquet('{pages_dir}/*.parquet')"
+    ).fetchall()
+    gold_rows = {"url": [], "subj": [], "pred": [], "obj": []}
+    for url, html in rows:
+        res = process_document(url, html.decode("utf-8"))
+        for t in res.triples:
+            gold_rows["url"].append(url)
+            gold_rows["subj"].append(t["subj"])
+            gold_rows["pred"].append(t["pred"])
+            gold_rows["obj"].append(t["obj"])
+    gold = pa.table({k: pa.array(v) for k, v in gold_rows.items()})
+
+    pr = triple_pr(pred, gold)
+    assert pr.precision >= 0.95 and pr.recall >= 0.95, pr
+
+
+def test_resume_byte_identical(kg_out, pages_dir):
+    from anno_ray.pipelines.kg import run_kg_pipeline
+
+    out, _ = kg_out
+    h1 = _hash_dir(os.path.join(out, "nodes")) + _hash_dir(os.path.join(out, "edges"))
+    # kill two docs partitions + all final outputs, then resume
+    for pid in ["00001", "00003"]:
+        shutil.rmtree(os.path.join(out, "docs", f"part={pid}"))
+        os.remove(os.path.join(out, "docs", "_manifests", f"{pid}.json"))
+    shutil.rmtree(os.path.join(out, "nodes"))
+    shutil.rmtree(os.path.join(out, "edges"))
+    stats = run_kg_pipeline(pages_dir, out, resume=True)
+    assert stats["extract"]["shards_run"] == 2
+    assert stats["extract"]["shards_skipped"] == 2
+    h2 = _hash_dir(os.path.join(out, "nodes")) + _hash_dir(os.path.join(out, "edges"))
+    assert h1 == h2
+
+
+def test_canonical_mapping_clusters(kg_out):
+    import duckdb
+
+    out, _ = kg_out
+    con = duckdb.connect()
+    # clustering merged at least some distinct surfaces (e.g. "bank of X")
+    merged = con.execute(
+        f"SELECT count(*) FROM read_parquet('{out}/canonical/mapping.parquet') "
+        "WHERE norm_surface != canonical_name"
+    ).fetchone()[0]
+    assert merged > 0
+    # canonical ids are deterministic hashes of the representative key
+    from anno_ray.stages.canonicalize import canonical_hash
+
+    row = con.execute(
+        f"SELECT entity_type, canonical_name, canonical_id FROM "
+        f"read_parquet('{out}/canonical/mapping.parquet') LIMIT 5"
+    ).fetchall()
+    for etype, cname, cid in row:
+        assert cid == canonical_hash(etype, cname)
