@@ -60,6 +60,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples": dq.kg_triples,
         "kg_nodes": dq.kg_nodes,
         "kg_edges": dq.kg_edges,
+        "kg_clusters": dq.kg_clusters,
+        "kg_communities": dq.kg_communities,
     }
 
 

@@ -308,3 +308,44 @@ def multimodal_decode(sf_dir: str):
     media = ray.data.from_arrow(synthetic_media_table(200))
     out = decode_images(media, fake=True)
     return out.select_columns(["media_id", "height", "width", "channels"])
+
+
+def kg_clusters(sf_dir: str):
+    """Top canonical clusters by (doc_count, mention_count) over CC pages."""
+    from ..stages import canonicalize as canon
+    from ..stages.corpus_stats import cluster_importance, rank_clusters
+    from ..stages.extract import extract_docs, mentions_table
+
+    docs = extract_docs(_synthetic_pages(sf_dir))
+    mentions = mentions_table(docs).materialize()
+    surfaces = canon.collect_surfaces(
+        canon.surface_groups(mentions, type_col="label", surface_col="norm_surface")
+    )
+    edges = canon.fuzzy_edges(surfaces)
+    mapping = canon.build_canonical_map(surfaces, edges)
+    with_canon = canon.attach_canonical(mentions, mapping, type_col="label")
+    return rank_clusters(cluster_importance(with_canon), max_clusters=25)
+
+
+def kg_communities(sf_dir: str):
+    """Leiden communities over the canonical edge graph (strata C7)."""
+    import pandas as pd
+
+    from ..core import leiden
+
+    nodes_tbl = kg_nodes(sf_dir)
+    edges_tbl = kg_edges(sf_dir)
+    pairs = {}
+    for u, v in zip(
+        edges_tbl.column("subj_node").to_pylist(),
+        edges_tbl.column("obj_node").to_pylist(),
+    ):
+        if u != v:
+            key = (u, v) if u < v else (v, u)
+            pairs[key] = pairs.get(key, 0.0) + 1.0
+    edge_list = [(u, v, w) for (u, v), w in pairs.items()]
+    comm = leiden.cluster(edge_list, resolution=1.0, seed=42)
+    rows = sorted(comm.items())
+    return pd.DataFrame(
+        {"node_id": [r[0] for r in rows], "community": [r[1] for r in rows]}
+    )

@@ -32,6 +32,17 @@ from ..stages.extract import extract_batch
 
 _PAGE_COLUMNS = ["url", "html", "lang"]
 
+def _pool_max() -> int:
+    """Actor-pool ceiling = cluster CPUs (idle actors don't burn cores; the
+    streaming executor backpressures)."""
+    try:
+        import ray
+
+        return max(4, int(ray.cluster_resources().get("CPU", 8)))
+    except Exception:
+        return 8
+
+
 
 class ExtractShard:
     """Actor-pool task: one input parquet file -> one docs partition + manifest."""
@@ -224,8 +235,18 @@ class EdgeRows:
             cur = self.kb_free_lookup.get(s)
             if cur is None or prio < {"PER": 0, "ORG": 1, "LOC": 2}.get(cur[0], 9):
                 self.kb_free_lookup[s] = (t, cid)
+        self._cache: dict[tuple[str, str], str] = {}
 
     def _endpoint(self, text: str, label: str) -> str:
+        key = (text, label)
+        hit = self._cache.get(key)
+        if hit is not None:
+            return hit
+        out = self._endpoint_uncached(text, label)
+        self._cache[key] = out
+        return out
+
+    def _endpoint_uncached(self, text: str, label: str) -> str:
         s = normalize_entity_name(text)
         if label in _NER_LABELS:
             cid = self.lookup.get((label, s))
@@ -273,12 +294,21 @@ def run_materialize_stage(out_dir: str, mapping: pa.Table) -> dict:
     from ..stages.extract import mentions_table, triples_table
 
     register_for_ray()
-    ref = ray.put(mapping)
+    # the mapping is broadcast: small tables ride in the task closure (plain
+    # tasks, no actor-pool scheduling constraints); big ones go through
+    # ray.put + per-actor init (CanonicalMapper pattern)
+    small_mapping = mapping.nbytes < 50 * 1024 * 1024
+    ref = mapping if small_mapping else ray.put(mapping)
 
     mentions = mentions_table(docs_dataset(out_dir, columns=["url", "mentions"]))
-    node_rows = mentions.map_batches(
-        NodeRows, fn_constructor_args=(ref,), batch_format="pyarrow", concurrency=(1, 4)
-    )
+    if small_mapping:
+        node_fn = NodeRows(ref)
+        node_rows = mentions.map_batches(node_fn, batch_format="pyarrow")
+    else:
+        node_rows = mentions.map_batches(
+            NodeRows, fn_constructor_args=(ref,), batch_format="pyarrow",
+            concurrency=(1, _pool_max()),
+        )
     # final (small) combine over pre-aggregated rows (built-in Arrow aggs:
     # node_type/name are constant per node_id by construction, so Min is a
     # deterministic "first")
@@ -298,27 +328,54 @@ def run_materialize_stage(out_dir: str, mapping: pa.Table) -> dict:
     nodes = nodes.map_batches(_rename, batch_format="pyarrow")
 
     triples = triples_table(docs_dataset(out_dir, columns=["url", "triples"]))
-    edges = triples.map_batches(
-        EdgeRows, fn_constructor_args=(ref,), batch_format="pyarrow", concurrency=(1, 4)
-    )
+    if small_mapping:
+        edge_fn = EdgeRows(ref)
+        edges = triples.map_batches(edge_fn, batch_format="pyarrow")
+    else:
+        edges = triples.map_batches(
+            EdgeRows, fn_constructor_args=(ref,), batch_format="pyarrow",
+            concurrency=(1, _pool_max()),
+        )
 
     # deterministic sorted range-partitioned write: boundaries derive from the
-    # (deterministic) canonical mapping, not Ray's run-varying sort sampling
+    # (deterministic) canonical mapping, not Ray's run-varying sort sampling.
+    # nodes and edges are independent pipelines -> overlap their execution.
+    from concurrent.futures import ThreadPoolExecutor
+
     from ..state.writer import write_sorted
 
     boundary = sorted(
         f"coref_{cid}" for cid in set(mapping.column("canonical_id").to_pylist())
     )
     n_parts = max(1, min(64, len(boundary) // 64 + 1))
-    nodes_stats = write_sorted(
-        nodes, out_dir, "nodes",
-        sort_keys=["node_id"], boundary_keys=boundary, num_partitions=n_parts,
-    )
-    edges_stats = write_sorted(
-        edges, out_dir, "edges",
-        sort_keys=["subj_node", "pred", "obj_node"], partition_key="subj_node",
-        boundary_keys=boundary, num_partitions=n_parts,
-    )
+    overlap = _pool_max() >= 12
+    if not overlap:
+        nodes_stats = write_sorted(
+            nodes, out_dir, "nodes",
+            sort_keys=["node_id"], boundary_keys=boundary, num_partitions=n_parts,
+        )
+        edges_stats = write_sorted(
+            edges, out_dir, "edges",
+            sort_keys=["subj_node", "pred", "obj_node"], partition_key="subj_node",
+            boundary_keys=boundary, num_partitions=n_parts,
+        )
+        for stage in ("nodes", "edges"):
+            with open(os.path.join(out_dir, stage, "_SUCCESS"), "w", encoding="utf-8") as f:
+                json.dump({"stage": stage}, f)
+        return {"nodes": nodes_stats, "edges": edges_stats}
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fut_nodes = pool.submit(
+            write_sorted, nodes, out_dir, "nodes",
+            sort_keys=["node_id"], boundary_keys=boundary, num_partitions=n_parts,
+        )
+        fut_edges = pool.submit(
+            write_sorted, edges, out_dir, "edges",
+            sort_keys=["subj_node", "pred", "obj_node"], partition_key="subj_node",
+            boundary_keys=boundary, num_partitions=n_parts,
+        )
+        nodes_stats = fut_nodes.result()
+        edges_stats = fut_edges.result()
     for stage in ("nodes", "edges"):
         with open(os.path.join(out_dir, stage, "_SUCCESS"), "w", encoding="utf-8") as f:
             json.dump({"stage": stage}, f)

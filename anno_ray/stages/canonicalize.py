@@ -425,5 +425,5 @@ def attach_canonical(
         CanonicalMapper,
         fn_constructor_args=(ref, type_col, surface_col),
         batch_format="pyarrow",
-        concurrency=concurrency or (1, 4),
+        concurrency=concurrency or (1, 8),
     )

@@ -102,61 +102,90 @@ def extract_batch(
         else [""] * len(urls)
     )
 
-    out: dict[str, list[Any]] = {
-        "url": [], "lang": [], "detected_lang": [], "n_chars": [],
-        "n_mentions": [], "n_events": [], "mentions": [], "tracks": [],
-        "triples": [],
-    }
-    if with_text:
-        out["text"] = []
+    # flat column accumulators + per-doc offsets -> ListArray(StructArray)
+    # assembly (an order of magnitude cheaper than list-of-dicts conversion)
+    doc_url, doc_lang, doc_dlang, doc_nchars, doc_nment, doc_nev = [], [], [], [], [], []
+    texts_out: list[str] = []
+
+    m_off = [0]
+    m_text, m_label, m_start, m_end, m_conf = [], [], [], [], []
+    m_pattern, m_source, m_negated, m_quant, m_track, m_norm, m_kb = [], [], [], [], [], [], []
+
+    t_off = [0]
+    t_id, t_surface, t_type, t_size, t_kb = [], [], [], [], []
+
+    r_off = [0]
+    r_subj, r_pred, r_obj, r_conf = [], [], [], []
+    r_slabel, r_olabel, r_sstart, r_ostart, r_source = [], [], [], [], []
 
     for url, html, lang in zip(urls, htmls, langs):
         raw = html.decode("utf-8", errors="replace") if isinstance(html, (bytes, bytearray)) else (html or "")
         res = process_document(url, raw, alias_table=alias_table)
-        out["url"].append(url)
-        out["lang"].append(lang or "")
-        out["detected_lang"].append(detect_language(res.text))
-        out["n_chars"].append(len(res.text))
-        out["n_mentions"].append(len(res.mentions))
-        out["n_events"].append(res.n_events)
-        out["mentions"].append(
-            [
-                {
-                    "text": m.text, "label": m.label, "start": m.start,
-                    "end": m.end, "conf": m.conf, "pattern": m.pattern,
-                    "source": m.source, "negated": m.negated,
-                    "quantifier": m.quantifier, "track_id": m.track_id,
-                    "norm_surface": m.norm_surface, "kb_id": m.kb_id,
-                }
-                for m in res.mentions
-            ]
-        )
-        track_kb = {}
+        doc_url.append(url)
+        doc_lang.append(lang or "")
+        doc_dlang.append(detect_language(res.text))
+        doc_nchars.append(len(res.text))
+        doc_nment.append(len(res.mentions))
+        doc_nev.append(res.n_events)
+        if with_text:
+            texts_out.append(res.text)
+
+        track_kb: dict[int, str] = {}
         for m in res.mentions:
+            m_text.append(m.text); m_label.append(m.label)
+            m_start.append(m.start); m_end.append(m.end); m_conf.append(m.conf)
+            m_pattern.append(m.pattern); m_source.append(m.source)
+            m_negated.append(m.negated); m_quant.append(m.quantifier)
+            m_track.append(m.track_id); m_norm.append(m.norm_surface)
+            m_kb.append(m.kb_id)
             if m.track_id >= 0 and m.kb_id:
                 track_kb[m.track_id] = m.kb_id
-        out["tracks"].append(
-            [
-                {
-                    "track_id": t.track_id,
-                    "canonical_surface": t.canonical_surface,
-                    "entity_type": t.entity_type,
-                    "size": len(t.mention_idxs),
-                    "kb_id": track_kb.get(t.track_id, ""),
-                }
-                for t in res.tracks
-            ]
-        )
-        out["triples"].append(
-            [{k: v for k, v in tr.items() if k != "url"} for tr in res.triples]
-        )
-        if with_text:
-            out["text"].append(res.text)
+        m_off.append(len(m_text))
 
-    schema = DOCS_SCHEMA
+        for t in res.tracks:
+            t_id.append(t.track_id); t_surface.append(t.canonical_surface)
+            t_type.append(t.entity_type); t_size.append(len(t.mention_idxs))
+            t_kb.append(track_kb.get(t.track_id, ""))
+        t_off.append(len(t_id))
+
+        for tr in res.triples:
+            r_subj.append(tr["subj"]); r_pred.append(tr["pred"]); r_obj.append(tr["obj"])
+            r_conf.append(tr["conf"]); r_slabel.append(tr["subj_label"])
+            r_olabel.append(tr["obj_label"]); r_sstart.append(tr["subj_start"])
+            r_ostart.append(tr["obj_start"]); r_source.append(tr["source"])
+        r_off.append(len(r_subj))
+
+    def _list_struct(offsets, struct_type, columns):
+        struct = pa.StructArray.from_arrays(
+            [pa.array(c, struct_type.field(i).type) for i, c in enumerate(columns)],
+            fields=list(struct_type),
+        )
+        return pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), struct)
+
+    cols: dict[str, Any] = {
+        "url": pa.array(doc_url, pa.string()),
+        "lang": pa.array(doc_lang, pa.string()),
+        "detected_lang": pa.array(doc_dlang, pa.string()),
+        "n_chars": pa.array(doc_nchars, pa.int64()),
+        "n_mentions": pa.array(doc_nment, pa.int64()),
+        "n_events": pa.array(doc_nev, pa.int64()),
+        "mentions": _list_struct(
+            m_off, MENTION_STRUCT,
+            [m_text, m_label, m_start, m_end, m_conf, m_pattern, m_source,
+             m_negated, m_quant, m_track, m_norm, m_kb],
+        ),
+        "tracks": _list_struct(
+            t_off, TRACK_STRUCT, [t_id, t_surface, t_type, t_size, t_kb]
+        ),
+        "triples": _list_struct(
+            r_off, TRIPLE_STRUCT,
+            [r_subj, r_pred, r_obj, r_conf, r_slabel, r_olabel, r_sstart,
+             r_ostart, r_source],
+        ),
+    }
     if with_text:
-        schema = schema.append(pa.field("text", pa.string()))
-    return pa.table({name: pa.array(out[name], schema.field(name).type) for name in schema.names})
+        cols["text"] = pa.array(texts_out, pa.string())
+    return pa.table(cols)
 
 
 def text_batch(

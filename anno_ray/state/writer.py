@@ -111,11 +111,15 @@ def write_sorted(
     shutil.rmtree(spill_dir, ignore_errors=True)
 
     # phase 1: spill partials (streaming; consumes the dataset once)
+    try:
+        pool_hi = max(4, int(ray.cluster_resources().get("CPU", 8)))
+    except Exception:
+        pool_hi = 8
     spilled = ds.map_batches(
         _SpillWriter,
         fn_constructor_args=(spill_dir, pk, cuts),
         batch_format="pyarrow",
-        concurrency=(1, 16),
+        concurrency=(1, pool_hi) if pool_hi >= 12 else (1, max(2, pool_hi - 1)),
     )
     total_in = sum(r["rows"] for r in spilled.take_all())
 

@@ -1,0 +1,276 @@
+"""Tests for graph exporters, readers, corpus stats, registry, dedup,
+similarity, text analysis, multimodal plumbing."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+# --- graph export ------------------------------------------------------------
+
+def _mini_graph():
+    nodes = pa.table(
+        {
+            "node_id": ["Q1", "coref_5", "date:jan_1"],
+            "node_type": ["PER", "ORG", "DATE"],
+            "name": ["alice o'hara", "acme", "jan 1"],
+            "mentions_count": [3, 2, 1],
+            "first_seen": [0, 10, 20],
+        }
+    )
+    edges = pa.table(
+        {
+            "subj_node": ["Q1", "coref_5"],
+            "obj_node": ["coref_5", "date:jan_1"],
+            "pred": ["WORKS_FOR", "RELATED TO"],
+            "conf": [0.5, 1.0],
+        }
+    )
+    return nodes, edges
+
+
+def test_cypher_export():
+    from anno_ray.core.graph_export import to_cypher
+
+    nodes, edges = _mini_graph()
+    out = to_cypher(nodes, edges)
+    assert "CREATE (nQ1:PER {id: 'Q1', name: 'alice o\\'hara'" in out
+    assert "[:WORKS_FOR {confidence: 0.500}]" in out
+    assert "[:RELATED_TO]" in out  # sanitized, no props at conf 1.0
+
+
+def test_networkx_export():
+    from anno_ray.core.graph_export import to_networkx_json
+
+    nodes, edges = _mini_graph()
+    g = json.loads(to_networkx_json(nodes, edges))
+    assert g["directed"] and not g["multigraph"]
+    assert len(g["nodes"]) == 3 and len(g["links"]) == 2
+    assert g["links"][0]["confidence"] == 0.5
+    assert "confidence" not in g["links"][1]  # default conf omitted
+
+
+def test_jsonld_export():
+    from anno_ray.core.graph_export import to_json_ld
+
+    nodes, edges = _mini_graph()
+    d = json.loads(to_json_ld(nodes, edges))
+    assert d["@context"]["@vocab"] == "http://schema.org/"
+    per = next(n for n in d["@graph"] if n["@id"] == "Q1")
+    assert per["relations"][0]["target"] == "coref_5"
+
+
+# --- registry / extension surface -------------------------------------------
+
+def test_registry_and_stack():
+    from anno_ray.functions import registry
+
+    assert set(["regex", "heuristic", "stacked", "mock"]) <= set(registry.available())
+    ex = registry.build_stack(["regex", "heuristic"])
+    ms = ex("Visit Paris on 2024-01-15.")
+    labels = {m.label for m in ms}
+    assert "DATE" in labels and "LOC" in labels
+
+    mock = registry.get_extractor("mock")
+    ms = mock("xx MOCKENT yy MOCKENT")
+    assert len(ms) == 2 and ms[0].label == "PER"
+
+    lex = registry.DictLexicon({"Acme": ("Q42", "a corp")})
+    assert lex.lookup("acme") == ("Q42", "a corp")
+    assert lex.lookup("other") == ("", "")
+
+
+# --- dedup core --------------------------------------------------------------
+
+def test_ngram_jaccard():
+    from anno_ray.stages.dedup import ngram_jaccard
+
+    assert ngram_jaccard("abcdef", "abcdef") == 1.0
+    assert ngram_jaccard("", "") == 1.0
+    assert 0.0 < ngram_jaccard("abcdefgh", "abcdefxx") < 1.0
+
+
+def test_simhash_similar_texts_close():
+    from anno_ray.stages.dedup import _simhash64
+
+    a = _simhash64("the quick brown fox jumps over the lazy dog".split())
+    b = _simhash64("the quick brown fox jumps over the lazy cat".split())
+    c = _simhash64("completely different words entirely unrelated text".split())
+    assert bin(a ^ b).count("1") < bin(a ^ c).count("1")
+
+
+# --- text analysis -----------------------------------------------------------
+
+def test_quality_and_tokens():
+    from anno_ray.stages.text_analysis import (
+        quality_features,
+        rolling_fingerprint,
+        subword_count,
+        token_count,
+    )
+
+    assert token_count("a b  c") == 3
+    assert token_count("") == 0
+    assert subword_count("hello, world!") == 4  # hello , world !
+    n_chars, punct, stop, mwl, score = quality_features(
+        "The quick brown fox jumps over the lazy dog."
+    )
+    assert 0 < score <= 1 and stop > 0
+    assert quality_features("")[4] == 0.0
+    assert rolling_fingerprint("a  b") == rolling_fingerprint("a b")  # ws-normalized
+    assert rolling_fingerprint("ab") != rolling_fingerprint("ba")
+
+
+# --- Ray-based op tests ------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data
+
+    texts = [
+        "the cat sat on the mat and looked around quietly",
+        "the cat sat on the mat and looked around quietly",  # exact dup of 0
+        "the cat sat on the mat and looked around quietly today",  # near dup
+        "completely different content about quantum physics experiments",
+        "another unrelated document discussing economic policy matters",
+    ]
+    return ray.data.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    )
+
+
+def test_exact_dedup(docs_ds):
+    from anno_ray.stages.dedup import exact_dedup_ids
+
+    out = exact_dedup_ids(docs_ds).to_pandas()
+    assert len(out) == 4  # 5 docs, one exact dup
+    row = out[out.n_copies == 2]
+    assert len(row) == 1 and row.iloc[0]["keep_id"] == 0
+
+
+def test_minhash_near_dup(docs_ds):
+    from anno_ray.stages.dedup import minhash_lsh_pairs, verify_pairs_ngram_jaccard
+
+    pairs = minhash_lsh_pairs(docs_ds, threshold=0.5).to_pandas()
+    got = set(zip(pairs.id_a, pairs.id_b))
+    assert (0, 1) in got and (0, 2) in got
+    verified = verify_pairs_ngram_jaccard(
+        docs_ds,
+        pa.table({"id_a": pairs.id_a.tolist(), "id_b": pairs.id_b.tolist()}),
+    )
+    jmap = dict(
+        zip(
+            zip(verified.column("id_a").to_pylist(), verified.column("id_b").to_pylist()),
+            verified.column("jaccard").to_pylist(),
+        )
+    )
+    assert jmap[(0, 1)] == 1.0
+
+
+def test_simhash_pairs(docs_ds):
+    from anno_ray.stages.dedup import simhash_pairs
+
+    out = simhash_pairs(docs_ds, max_hamming=10).to_pandas()
+    got = set(zip(out.id_a, out.id_b))
+    assert (0, 1) in got  # identical docs -> hamming 0
+
+
+def test_cosine_topk_exact_vs_lsh(ray_session):
+    import ray.data
+
+    from anno_ray.stages.similarity import cosine_topk, lsh_cosine_topk
+
+    rng = np.random.RandomState(0)
+    base = rng.randn(40, 16).astype(np.float32)
+    # make vec 1 a near-copy of vec 0
+    base[1] = base[0] + rng.randn(16).astype(np.float32) * 0.01
+    ds = ray.data.from_items(
+        [{"vec_id": i, "embedding": base[i].tolist()} for i in range(40)]
+    )
+    exact = cosine_topk(ds, [0], base[0:1], k=3)
+    top1 = exact.column("neighbor_id").to_pylist()[0]
+    assert top1 == 1  # nearest neighbor of 0 is its near-copy
+    approx = lsh_cosine_topk(ds, [0], base[0:1], k=3, n_planes=6, n_tables=6)
+    assert 1 in approx.column("neighbor_id").to_pylist()
+
+
+def test_multimodal_plumbing(ray_session):
+    import ray.data
+
+    from anno_ray.stages.multimodal import (
+        DecodeImage,
+        decode_images,
+        sample_frames,
+        synthetic_media_table,
+    )
+
+    media = ray.data.from_arrow(synthetic_media_table(30))
+    feats = decode_images(media, fake=True).to_pandas()
+    assert len(feats) == 30
+    assert all(len(f) == 16 for f in feats.features)
+    frames = sample_frames(media, every_n=50, fake=True).to_pandas()
+    assert (frames.frame_idx % 50 == 0).all()
+    # the real decoder is explicitly stubbed
+    with pytest.raises(NotImplementedError):
+        DecodeImage(fake=False).decode_impl(b"\x89PNG")
+
+
+def test_readers_text_dir_and_jsonl(ray_session, tmp_path):
+    from anno_ray.sources.readers import read_docs_jsonl, read_text_dir
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    (d / "a.txt").write_text("Alice met Bob in Paris.")
+    (d / "b.md").write_text("# Title\nBerlin is big.")
+    (d / "c.bin").write_text("ignored")
+    pages = read_text_dir(str(d)).to_pandas()
+    assert len(pages) == 2 and pages.url.str.startswith("file://").all()
+
+    j = tmp_path / "docs.jsonl"
+    j.write_text(
+        '{"doc_id": 1, "text": "Hello Paris"}\n{"doc_id": 2, "text": "Bye Berlin"}\n'
+    )
+    docs = read_docs_jsonl(str(j)).to_pandas()
+    assert len(docs) == 2 and docs.url.tolist() == ["doc://1", "doc://2"]
+
+
+def test_corpus_stats_and_clusters(ray_session):
+    import ray.data
+
+    from anno_ray.fixtures.pages import generate_pages_table
+    from anno_ray.stages import canonicalize as canon
+    from anno_ray.stages.corpus_stats import (
+        cluster_importance,
+        doc_stats,
+        filter_clusters,
+        mention_stats,
+        rank_clusters,
+    )
+    from anno_ray.stages.extract import extract_docs, mentions_table
+
+    pages = ray.data.from_arrow(generate_pages_table(0, 40))
+    docs = extract_docs(pages).materialize()
+    stats = doc_stats(docs)
+    assert stats.n_docs[0] == 40 and stats.n_mentions[0] > 0
+
+    mentions = mentions_table(docs).materialize()
+    ms = mention_stats(mentions).to_pandas()
+    assert set(["PER", "ORG"]) <= set(ms.label)
+
+    surfaces = canon.collect_surfaces(
+        canon.surface_groups(mentions, type_col="label", surface_col="norm_surface")
+    )
+    edges = canon.fuzzy_edges(surfaces)
+    mapping = canon.build_canonical_map(surfaces, edges)
+    with_canon = canon.attach_canonical(mentions, mapping, type_col="label")
+    clusters = cluster_importance(with_canon).materialize()
+    top = rank_clusters(clusters, max_clusters=5).to_pandas()
+    assert len(top) == 5
+    assert list(top.doc_count) == sorted(top.doc_count, reverse=True)
+    flt = filter_clusters(clusters, cross_doc_only=True).to_pandas()
+    assert (flt.doc_count > 1).all()
