@@ -287,31 +287,54 @@ class EdgeRows:
         )
 
 
-def run_materialize_stage(out_dir: str, mapping: pa.Table) -> dict:
-    """Stage C: sorted canonical node/edge parquet + manifests."""
-    import ray
+class FusedMaterialize:
+    """ONE pass over docs blocks: explodes mentions -> node partial rows
+    (returned) and triples -> canonical edges spilled by range partition
+    (side output with retry-idempotent filenames). Halves the docs reads and
+    removes a full dataset pass vs separate node/edge pipelines."""
 
-    from ..stages.extract import mentions_table, triples_table
+    def __init__(self, mapping: pa.Table, cuts: list[str], spill_dir: str):
+        import numpy as np
+
+        self.node_fn = NodeRows(mapping)
+        self.edge_fn = EdgeRows(mapping)
+        self.cuts = np.array(cuts, dtype=object) if cuts else None
+        self.spill_dir = spill_dir
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..stages.extract import _explode
+        from ..state.writer import spill_batch
+
+        mentions = _explode(batch.select(["url", "mentions"]), "mentions", ["url"])
+        node_partial = self.node_fn(mentions)
+        triples = _explode(batch.select(["url", "triples"]), "triples", ["url"])
+        edges = self.edge_fn(triples)
+        spill_batch(edges, self.spill_dir, "subj_node", self.cuts, "url")
+        return node_partial
+
+
+def run_materialize_stage(out_dir: str, mapping: pa.Table) -> dict:
+    """Stage C: sorted canonical node/edge parquet + manifests (fused pass)."""
+    import shutil
+
+    from ..state import manifests as mfst
+    from ..state.writer import boundaries_from_keys, merge_spilled, write_sorted
 
     register_for_ray()
-    # the mapping is broadcast: small tables ride in the task closure (plain
-    # tasks, no actor-pool scheduling constraints); big ones go through
-    # ray.put + per-actor init (CanonicalMapper pattern)
-    small_mapping = mapping.nbytes < 50 * 1024 * 1024
-    ref = mapping if small_mapping else ray.put(mapping)
+    boundary = sorted(
+        f"coref_{cid}" for cid in set(mapping.column("canonical_id").to_pylist())
+    )
+    n_parts = max(1, min(64, len(boundary) // 64 + 1))
+    cuts = boundaries_from_keys(boundary, n_parts)
 
-    mentions = mentions_table(docs_dataset(out_dir, columns=["url", "mentions"]))
-    if small_mapping:
-        node_fn = NodeRows(ref)
-        node_rows = mentions.map_batches(node_fn, batch_format="pyarrow")
-    else:
-        node_rows = mentions.map_batches(
-            NodeRows, fn_constructor_args=(ref,), batch_format="pyarrow",
-            concurrency=(1, _pool_max()),
-        )
-    # final (small) combine over pre-aggregated rows (built-in Arrow aggs:
-    # node_type/name are constant per node_id by construction, so Min is a
-    # deterministic "first")
+    spill_dir = os.path.join(out_dir, "edges", "_spill")
+    shutil.rmtree(spill_dir, ignore_errors=True)
+
+    docs = docs_dataset(out_dir, columns=["url", "mentions", "triples"])
+    fused = FusedMaterialize(mapping, cuts, spill_dir)
+    node_rows = docs.map_batches(fused, batch_format="pyarrow")
+
+    # nodes: small final combine + deterministic sorted write
     from ray.data.aggregate import Min, Sum
 
     nodes = node_rows.groupby("node_id").aggregate(
@@ -326,56 +349,20 @@ def run_materialize_stage(out_dir: str, mapping: pa.Table) -> dict:
         return b.rename_columns([names.get(c, c) for c in b.column_names])
 
     nodes = nodes.map_batches(_rename, batch_format="pyarrow")
-
-    triples = triples_table(docs_dataset(out_dir, columns=["url", "triples"]))
-    if small_mapping:
-        edge_fn = EdgeRows(ref)
-        edges = triples.map_batches(edge_fn, batch_format="pyarrow")
-    else:
-        edges = triples.map_batches(
-            EdgeRows, fn_constructor_args=(ref,), batch_format="pyarrow",
-            concurrency=(1, _pool_max()),
-        )
-
-    # deterministic sorted range-partitioned write: boundaries derive from the
-    # (deterministic) canonical mapping, not Ray's run-varying sort sampling.
-    # nodes and edges are independent pipelines -> overlap their execution.
-    from concurrent.futures import ThreadPoolExecutor
-
-    from ..state.writer import write_sorted
-
-    boundary = sorted(
-        f"coref_{cid}" for cid in set(mapping.column("canonical_id").to_pylist())
+    # consuming `nodes` drives the fused pass (and hence the edge spills)
+    nodes_stats = write_sorted(
+        nodes, out_dir, "nodes",
+        sort_keys=["node_id"], boundary_keys=boundary, num_partitions=n_parts,
+        resume=False,
     )
-    n_parts = max(1, min(64, len(boundary) // 64 + 1))
-    overlap = _pool_max() >= 12
-    if not overlap:
-        nodes_stats = write_sorted(
-            nodes, out_dir, "nodes",
-            sort_keys=["node_id"], boundary_keys=boundary, num_partitions=n_parts,
-        )
-        edges_stats = write_sorted(
-            edges, out_dir, "edges",
-            sort_keys=["subj_node", "pred", "obj_node"], partition_key="subj_node",
-            boundary_keys=boundary, num_partitions=n_parts,
-        )
-        for stage in ("nodes", "edges"):
-            with open(os.path.join(out_dir, stage, "_SUCCESS"), "w", encoding="utf-8") as f:
-                json.dump({"stage": stage}, f)
-        return {"nodes": nodes_stats, "edges": edges_stats}
 
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        fut_nodes = pool.submit(
-            write_sorted, nodes, out_dir, "nodes",
-            sort_keys=["node_id"], boundary_keys=boundary, num_partitions=n_parts,
-        )
-        fut_edges = pool.submit(
-            write_sorted, edges, out_dir, "edges",
-            sort_keys=["subj_node", "pred", "obj_node"], partition_key="subj_node",
-            boundary_keys=boundary, num_partitions=n_parts,
-        )
-        nodes_stats = fut_nodes.result()
-        edges_stats = fut_edges.result()
+    edges_done = mfst.completed_partitions(out_dir, "edges")
+    edges_stats = merge_spilled(
+        spill_dir, out_dir, "edges",
+        sort_keys=["subj_node", "pred", "obj_node"], n_parts=n_parts,
+        done=edges_done,
+    )
+
     for stage in ("nodes", "edges"):
         with open(os.path.join(out_dir, stage, "_SUCCESS"), "w", encoding="utf-8") as f:
             json.dump({"stage": stage}, f)

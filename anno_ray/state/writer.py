@@ -24,7 +24,6 @@ from __future__ import annotations
 
 import os
 import shutil
-import uuid
 
 import numpy as np
 import pyarrow as pa
@@ -47,6 +46,51 @@ def boundaries_from_keys(keys: list[str], num_partitions: int) -> list[str]:
     return sorted(set(cuts))
 
 
+def _batch_tag(batch: pa.Table, key: str) -> str:
+    """Deterministic per-batch tag -> idempotent spill filenames under task
+    retry (a retried block overwrites its own partials instead of appending
+    duplicates)."""
+    import hashlib
+
+    h = hashlib.blake2b(digest_size=10)
+    col = batch.column(key)
+    n = batch.num_rows
+    h.update(str(n).encode())
+    for idx in (0, n // 2, n - 1):
+        v = col[idx].as_py()
+        h.update(str(v).encode("utf-8", "replace"))
+    return h.hexdigest()
+
+
+def spill_batch(
+    batch: pa.Table, spill_dir: str, key: str, cuts: np.ndarray | None, tag_key: str
+) -> int:
+    """Split one batch by range partition and write partials; returns rows."""
+    import pyarrow.parquet as pq
+
+    if batch.num_rows == 0:
+        return 0
+    keys = np.array(batch.column(key).to_pylist(), dtype=object)
+    if cuts is not None and len(cuts):
+        pids = np.searchsorted(cuts, keys, side="right")
+    else:
+        pids = np.zeros(len(keys), dtype=np.int64)
+    order = np.argsort(pids, kind="stable")
+    sorted_pids = pids[order]
+    starts = np.flatnonzero(np.r_[True, sorted_pids[1:] != sorted_pids[:-1]])
+    ends = np.r_[starts[1:], len(sorted_pids)]
+    tag = _batch_tag(batch, tag_key)
+    for s, e in zip(starts, ends):
+        pid = int(sorted_pids[s])
+        part = batch.take(pa.array(order[s:e]))
+        pdir = os.path.join(spill_dir, f"part={pid:05d}")
+        os.makedirs(pdir, exist_ok=True)
+        tmp = os.path.join(pdir, f"{tag}.parquet.tmp")
+        pq.write_table(part, tmp)
+        os.replace(tmp, os.path.join(pdir, f"{tag}.parquet"))
+    return batch.num_rows
+
+
 class _SpillWriter:
     """Phase-1 kernel: split each batch by range partition, append partials."""
 
@@ -54,33 +98,10 @@ class _SpillWriter:
         self.spill_dir = spill_dir
         self.key = key
         self.cuts = np.array(cuts, dtype=object) if cuts else None
-        self.writer_id = uuid.uuid4().hex[:12]
-        self.seq = 0
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import pyarrow.parquet as pq
-
-        if batch.num_rows == 0:
-            return pa.table({"rows": pa.array([0], pa.int64())})
-        keys = np.array(batch.column(self.key).to_pylist(), dtype=object)
-        if self.cuts is not None:
-            pids = np.searchsorted(self.cuts, keys, side="right")
-        else:
-            pids = np.zeros(len(keys), dtype=np.int64)
-        order = np.argsort(pids, kind="stable")
-        sorted_pids = pids[order]
-        starts = np.flatnonzero(np.r_[True, sorted_pids[1:] != sorted_pids[:-1]])
-        ends = np.r_[starts[1:], len(sorted_pids)]
-        for s, e in zip(starts, ends):
-            pid = int(sorted_pids[s])
-            part = batch.take(pa.array(order[s:e]))
-            pdir = os.path.join(self.spill_dir, f"part={pid:05d}")
-            os.makedirs(pdir, exist_ok=True)
-            self.seq += 1
-            pq.write_table(
-                part, os.path.join(pdir, f"{self.writer_id}_{self.seq:06d}.parquet")
-            )
-        return pa.table({"rows": pa.array([batch.num_rows], pa.int64())})
+        rows = spill_batch(batch, self.spill_dir, self.key, self.cuts, self.key)
+        return pa.table({"rows": pa.array([rows], pa.int64())})
 
 
 def write_sorted(
@@ -123,7 +144,28 @@ def write_sorted(
     )
     total_in = sum(r["rows"] for r in spilled.take_all())
 
-    # phase 2: one merge task per partition (independent -> resumable)
+    stats = merge_spilled(
+        spill_dir, out_dir, stage,
+        sort_keys=sort_keys, n_parts=n_parts, done=done,
+    )
+    stats["rows_in"] = int(total_in)
+    return stats
+
+
+def merge_spilled(
+    spill_dir: str,
+    out_dir: str,
+    stage: str,
+    *,
+    sort_keys: list[str],
+    n_parts: int,
+    done: dict | None = None,
+) -> dict:
+    """Phase 2: one merge task per partition (independent -> resumable)."""
+    import ray
+
+    done = done or {}
+
     @ray.remote
     def merge_partition(pid: int) -> int:
         import pyarrow.parquet as pq
@@ -133,7 +175,7 @@ def write_sorted(
         if not os.path.isdir(pdir):
             tbl = None
         else:
-            files = sorted(os.listdir(pdir))
+            files = sorted(f for f in os.listdir(pdir) if f.endswith(".parquet"))
             tables = [pq.read_table(os.path.join(pdir, f)) for f in files]
             tbl = pa.concat_tables(tables) if tables else None
         if tbl is None or tbl.num_rows == 0:
@@ -159,7 +201,6 @@ def write_sorted(
     return {
         "stage": stage,
         "partitions": n_parts,
-        "rows_in": int(total_in),
         "rows_written": int(sum(written)),
         "partitions_skipped": n_parts - len(pending),
     }
