@@ -39,6 +39,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_nation_region": rel.supplier_nation_region,
         "events_by_type": rel.events_by_type,
         "events_daily_topusers": rel.events_daily_topusers,
+        "orders_priority_customers": rel.orders_priority_customers,
+        "union_names_count": rel.union_names_count,
+        "customers_without_orders": rel.customers_without_orders,
+        "events_sessionize": rel.events_sessionize,
         # --- documents/text operators (SQL-oracled) ---
         "docs_by_lang": dq.docs_by_lang,
         "doc_token_stats": dq.doc_token_stats,
@@ -110,6 +114,41 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events, ROUND(SUM(value), 4) AS day_value
             FROM events GROUP BY user_id, day
             ORDER BY n_events DESC, user_id ASC, day ASC LIMIT 20
+        """,
+        "orders_priority_customers": """
+            SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_customers
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "union_names_count": """
+            SELECT COUNT(*) AS n_names FROM (
+                SELECT c_name AS name FROM customer
+                UNION ALL SELECT s_name FROM supplier
+            )
+        """,
+        "customers_without_orders": """
+            SELECT COUNT(*) AS n_customers FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """,
+        "events_sessionize": """
+            SELECT user_id,
+                   COUNT(DISTINCT session_id) AS n_sessions,
+                   MAX(session_size) AS max_session_events
+            FROM (
+                SELECT user_id, session_id, COUNT(*) AS session_size
+                FROM (
+                    SELECT user_id,
+                           SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+                    FROM (
+                        SELECT user_id, ts,
+                               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                         > INTERVAL 30 MINUTE
+                                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                                    THEN 1 ELSE 0 END AS is_new
+                        FROM events
+                    )
+                ) GROUP BY user_id, session_id
+            ) GROUP BY user_id
         """,
         "docs_by_lang": """
             SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars

@@ -232,3 +232,98 @@ def events_daily_topusers(sf_dir: str):
         batch_format="pyarrow",
     ).map_batches(_round_cols(["day_value"], 4), batch_format="pyarrow")
     return out.sort(["n_events", "user_id", "day"], descending=[True, False, False]).limit(20)
+
+
+def orders_priority_customers(sf_dir: str):
+    """COUNT(DISTINCT) via two-level groupby: distinct (priority, custkey)
+    first (combiner-friendly), then count per priority."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_custkey"])
+    distinct = (
+        ds.groupby(["o_orderpriority", "o_custkey"])
+        .aggregate(Count())
+    )
+    out = distinct.groupby("o_orderpriority").aggregate(Count())
+    return out.map_batches(
+        _rename({"count()": "n_customers"}), batch_format="pyarrow"
+    ).map_batches(
+        lambda b: b.select(["o_orderpriority", "n_customers"]),
+        batch_format="pyarrow",
+    )
+
+
+def union_names_count(sf_dir: str):
+    """ds.union: customer + supplier name rows, total count."""
+    import pandas as pd
+
+    c = _read(sf_dir, "customer", ["c_name"]).map_batches(
+        lambda b: b.rename_columns(["name"]), batch_format="pyarrow"
+    )
+    s = _read(sf_dir, "supplier", ["s_name"]).map_batches(
+        lambda b: b.rename_columns(["name"]), batch_format="pyarrow"
+    )
+    u = c.union(s)
+    return pd.DataFrame({"n_names": [u.count()]})
+
+
+def customers_without_orders(sf_dir: str):
+    """Broadcast ANTI join: customers with no orders."""
+    import pandas as pd
+    import ray
+
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    custkeys_with_orders = set()
+    for ref in orders.to_arrow_refs():
+        t = ray.get(ref)
+        custkeys_with_orders.update(t.column("o_custkey").to_pylist())
+    have_ref = ray.put(custkeys_with_orders)
+
+    class AntiJoin:
+        def __init__(self, ref):
+            self.have = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            keys = b.column("c_custkey").to_pylist()
+            mask = pa.array([k not in self.have for k in keys], pa.bool_())
+            return b.filter(mask)
+
+    customers = _read(sf_dir, "customer", ["c_custkey"])
+    n = customers.map_batches(
+        AntiJoin, fn_constructor_args=(have_ref,), batch_format="pyarrow",
+        concurrency=(1, 2),
+    ).count()
+    return pd.DataFrame({"n_customers": [n]})
+
+
+def events_sessionize(sf_dir: str, gap_minutes: int = 30):
+    """Stateful windowed aggregate: per-user sessions split on >gap idle.
+
+    groupby(user).map_groups with an in-group sort — the partitioning
+    assumption (all events of one user co-located) is exactly what the
+    shuffle provides; a streaming engine would keep per-key state instead.
+    Returns per-user session counts + max session length (deterministic).
+    """
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def sessions(group: pa.Table) -> pa.Table:
+        import numpy as np
+
+        uid = group.column("user_id")[0].as_py()
+        ts = np.sort(group.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]").astype("int64"))
+        if len(ts) == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "n_sessions": pa.array([], pa.int64()),
+                             "max_session_events": pa.array([], pa.int64())})
+        breaks = np.flatnonzero(np.diff(ts) > gap_us)
+        sizes = np.diff(np.r_[0, breaks + 1, len(ts)])
+        return pa.table(
+            {
+                "user_id": pa.array([uid], pa.int64()),
+                "n_sessions": pa.array([len(sizes)], pa.int64()),
+                "max_session_events": pa.array([int(sizes.max())], pa.int64()),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pyarrow")

@@ -214,3 +214,21 @@ def test_labels():
     assert types_match_flexible("PER", "PERSON")
     assert types_match_flexible("DATE", "YEAR")
     assert not types_match_flexible("PER", "ORG")
+
+
+# --- type mapper presets -----------------------------------------------------
+
+def test_type_mapper():
+    from anno_ray.core.type_mapper import PRESETS, TypeMapper
+
+    tm = TypeMapper.mit_movie()
+    assert tm.normalize("ACTOR") == "PER"
+    assert tm.normalize("actor") == "PER"  # case-insensitive
+    assert tm.normalize("TITLE") == "WORK_OF_ART"
+    assert tm.normalize("UNMAPPED_ORG") == "UNMAPPED_ORG"
+    assert tm.normalize("organization") == "ORG"  # from_label fallback
+    assert "ACTOR" in tm and "NOPE" not in tm
+    assert set(PRESETS) == {
+        "mit_movie", "mit_restaurant", "biomedical", "social_media", "manufacturing"
+    }
+    assert PRESETS["social_media"]().normalize("corporation") == "ORG"
