@@ -62,8 +62,21 @@ class EventMention:
     arguments: list[tuple[str, str]] = field(default_factory=list)
 
 
+_ASCII_TOKEN_RE = None
+
+
 def tokenize(text: str) -> list[tuple[str, int, int]]:
-    """Alnum/'/- token runs with BYTE offsets (event_extractor.rs:1220-1243)."""
+    """Alnum/'/- token runs with BYTE offsets (event_extractor.rs:1220-1243).
+
+    ASCII fast path: byte offsets == char offsets and Rust/Python alnum
+    agree on ASCII, so a compiled regex scan is exact."""
+    global _ASCII_TOKEN_RE
+    if text.isascii():
+        if _ASCII_TOKEN_RE is None:
+            import re as _re
+
+            _ASCII_TOKEN_RE = _re.compile(r"[0-9A-Za-z'\-]+")
+        return [(m.group(), m.start(), m.end()) for m in _ASCII_TOKEN_RE.finditer(text)]
     tokens: list[tuple[str, int, int]] = []
     word_start = None
     start_chars: list[str] = []

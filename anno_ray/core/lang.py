@@ -20,6 +20,10 @@ _SPANISH = set("ñáíóú")  # é handled by the French arm first; ¿¡ not alp
 
 
 def detect_language(text: str) -> str:
+    # ASCII fast path: only the generic-Latin (EN) bucket can score, and the
+    # zero-alpha fallback is also "en"
+    if text.isascii():
+        return "en"
     counts = [0] * 13
     total = 0
     for c in text:

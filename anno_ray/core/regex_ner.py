@@ -78,10 +78,23 @@ MENTION_PATTERN = _c(r"\B@[\w](?:[\w.]*[\w])?")
 HASHTAG_PATTERN = _c(r"\B#\w+")
 
 
+_DIGIT_RE = re.compile(r"\d")
+_HTTP_RE = re.compile(r"(?i)http")
+
+
 def extract(text: str) -> list[Mention]:
-    """Run all patterns in fixed order with first-claim-wins overlap rules."""
+    """Run all patterns in fixed order with first-claim-wins overlap rules.
+
+    Cheap prechecks skip whole pattern families that cannot match (every
+    date/time/money/percent/phone pattern requires a digit; email/mention
+    need '@'; urls need 'http'; hashtags need '#') — identical results,
+    large constant-factor win on digit-free prose."""
     entities: list[Mention] = []
     spans: list[tuple[int, int]] = []  # accepted spans, same order
+    has_digit = _DIGIT_RE.search(text) is not None
+    has_at = "@" in text
+    has_hash = "#" in text
+    has_http = _HTTP_RE.search(text) is not None
 
     def add(m: re.Match[str], label: str, conf: float, pattern: str) -> None:
         s, e = m.start(), m.end()
@@ -91,31 +104,37 @@ def extract(text: str) -> list[Mention]:
         entities.append(Mention(m.group(), label, s, e, conf, pattern, "regex"))
         spans.append((s, e))
 
-    for name, pat in DATE_PATTERNS_EN:
-        for m in pat.finditer(text):
-            add(m, "DATE", 0.95, name)
-    for name, pat in DATE_PATTERNS_I18N:
-        for m in pat.finditer(text):
-            add(m, "DATE", 0.93, name)
-    for name, pat in TIME_PATTERNS:
-        for m in pat.finditer(text):
-            add(m, "TIME", 0.90, name)
-    for name, pat in MONEY_PATTERNS:
-        for m in pat.finditer(text):
-            add(m, "MONEY", 0.95, name)
-    for m in PERCENT_PATTERN.finditer(text):
-        add(m, "PERCENT", 0.95, "PERCENT")
-    for m in EMAIL_PATTERN.finditer(text):
-        add(m, "EMAIL", 0.98, "EMAIL")
-    for m in URL_PATTERN.finditer(text):
-        add(m, "URL", 0.98, "URL")
-    for name, pat in PHONE_PATTERNS:
-        for m in pat.finditer(text):
-            add(m, "PHONE", 0.85, name)
-    for m in MENTION_PATTERN.finditer(text):
-        add(m, "Mention", 0.95, "MENTION")
-    for m in HASHTAG_PATTERN.finditer(text):
-        add(m, "Hashtag", 0.95, "HASHTAG")
+    if has_digit:
+        for name, pat in DATE_PATTERNS_EN:
+            for m in pat.finditer(text):
+                add(m, "DATE", 0.95, name)
+        for name, pat in DATE_PATTERNS_I18N:
+            for m in pat.finditer(text):
+                add(m, "DATE", 0.93, name)
+        for name, pat in TIME_PATTERNS:
+            for m in pat.finditer(text):
+                add(m, "TIME", 0.90, name)
+        for name, pat in MONEY_PATTERNS:
+            for m in pat.finditer(text):
+                add(m, "MONEY", 0.95, name)
+        for m in PERCENT_PATTERN.finditer(text):
+            add(m, "PERCENT", 0.95, "PERCENT")
+    if has_at:
+        for m in EMAIL_PATTERN.finditer(text):
+            add(m, "EMAIL", 0.98, "EMAIL")
+    if has_http:
+        for m in URL_PATTERN.finditer(text):
+            add(m, "URL", 0.98, "URL")
+    if has_digit:
+        for name, pat in PHONE_PATTERNS:
+            for m in pat.finditer(text):
+                add(m, "PHONE", 0.85, name)
+    if has_at:
+        for m in MENTION_PATTERN.finditer(text):
+            add(m, "Mention", 0.95, "MENTION")
+    if has_hash:
+        for m in HASHTAG_PATTERN.finditer(text):
+            add(m, "Hashtag", 0.95, "HASHTAG")
 
     entities.sort(key=lambda e: e.start)
     return entities

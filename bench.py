@@ -137,7 +137,7 @@ def _scaling_child(num_cpus: int, pages: str, out_dir: str) -> float:
 def main() -> None:
     scaling = "--scaling" in sys.argv
     sf = _sf_name()
-    n_pages = _PAGES_BY_SF.get(sf, max(300, int(24000 * (0.0 if sf == "sf0" else 1.0))))
+    n_pages = _PAGES_BY_SF.get(sf, 3000)
     pages = pages_dir(n_pages)
 
     if scaling:
