@@ -1,0 +1,335 @@
+"""Rebuild the differential-test harnesses around the ACTUAL reference code.
+
+Three tiny Rust binaries embed reference implementation files directly
+(pure-std — no crates.io needed). Reference sources are extracted from
+/root/reference at build time into /tmp (never committed); only our shims
+and this assembly script live in the repo.
+
+    python tools/build_ref_harnesses.py
+    /tmp/refharness/target/release/refharness      # HTML->text  (stdin->stdout)
+    /tmp/heurharness/target/release/heurharness    # HeuristicNER (stdin->TSV)
+    /tmp/evharness/target/release/evharness        # events+relations (TSV->JSON)
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import subprocess
+import sys
+
+REF = "/root/reference"
+
+HEUR_MAIN = r'''
+// ---- shims for crate items used by heuristic.rs ----
+pub type Result<T> = std::result::Result<T, String>;
+
+#[derive(Debug, Clone, PartialEq)]
+pub enum EntityType { Person, Organization, Location, Other(String) }
+impl EntityType {
+    pub fn as_label(&self) -> &str {
+        match self { EntityType::Person => "PER", EntityType::Organization => "ORG",
+                     EntityType::Location => "LOC", EntityType::Other(s) => s.as_str() }
+    }
+}
+
+#[derive(Debug, Clone, PartialEq)]
+pub enum ExtractionMethod { Heuristic }
+
+#[derive(Debug, Clone)]
+pub struct Provenance {
+    pub source: String,
+    pub method: ExtractionMethod,
+    pub pattern: Option<String>,
+    pub raw_confidence: Option<f64>,
+    pub model_version: Option<String>,
+    pub timestamp: Option<String>,
+}
+
+#[derive(Debug, Clone)]
+pub struct Entity {
+    pub text: String,
+    pub entity_type: EntityType,
+    pub start: usize,
+    pub end: usize,
+    pub confidence: f64,
+    pub provenance: Option<Provenance>,
+}
+impl Entity {
+    pub fn new(text: impl Into<String>, entity_type: EntityType, start: usize, end: usize, confidence: f64) -> Self {
+        Entity { text: text.into(), entity_type, start, end, confidence, provenance: None }
+    }
+    pub fn with_provenance(text: impl Into<String>, entity_type: EntityType, start: usize, end: usize, confidence: f64, p: Provenance) -> Self {
+        Entity { text: text.into(), entity_type, start, end, confidence, provenance: Some(p) }
+    }
+}
+
+pub trait Model { fn extract_entities(&self, text: &str, language: Option<&str>) -> Result<Vec<Entity>>;
+    fn supported_types(&self) -> Vec<EntityType>; fn is_available(&self) -> bool;
+    fn name(&self) -> &'static str; fn description(&self) -> &'static str; }
+pub trait NamedEntityCapable {}
+pub trait BatchCapable { fn optimal_batch_size(&self) -> Option<usize> { None } }
+pub trait StreamingCapable { fn recommended_chunk_size(&self) -> usize { 8192 } }
+
+pub mod offset {
+    pub struct SpanConverter { map: Vec<usize> }
+    impl SpanConverter {
+        pub fn new(text: &str) -> Self {
+            let mut map = vec![0usize; text.len() + 1];
+            let mut ci = 0;
+            for (bi, _) in text.char_indices() { map[bi] = ci; ci += 1; }
+            map[text.len()] = ci;
+            SpanConverter { map }
+        }
+        pub fn byte_to_char(&self, b: usize) -> usize { self.map[b.min(self.map.len()-1)] }
+    }
+}
+
+use std::io::Read;
+fn main() {
+    let mut buf = String::new();
+    std::io::stdin().read_to_string(&mut buf).unwrap();
+    let ner = heuristic::HeuristicNER::new();
+    let ents = heuristic::run(&ner, &buf);
+    for e in ents {
+        let pat = e.provenance.as_ref().and_then(|p| p.pattern.clone()).unwrap_or_default();
+        println!("{}\t{}\t{}\t{}\t{:.4}\t{}", e.text.replace('\t', " ").replace('\n', " "), e.entity_type.as_label(), e.start, e.end, e.confidence, pat);
+    }
+}
+mod heuristic {
+    include!("heuristic.rs");
+    pub fn run(ner: &HeuristicNER, text: &str) -> Vec<crate::Entity> {
+        use crate::Model;
+        ner.extract_entities(text, None).unwrap()
+    }
+}
+'''
+
+EV_MAIN = r'''// Differential harness around the reference event extractor + pair relations.
+// Input: JSON lines {"text": ..., "entities": [{"text","label","start","end","conf"}]}
+// Output per line: JSON {"relations": [...], "events": [...]}
+use std::io::{BufRead, Write};
+
+#[derive(Debug, Clone)]
+pub struct EntityTypeShim(pub String);
+impl EntityTypeShim { pub fn as_label(&self) -> &str { &self.0 } }
+
+#[derive(Debug, Clone)]
+pub struct Entity {
+    pub text: String,
+    pub entity_type: EntityTypeShim,
+    pub start: usize,
+    pub end: usize,
+    pub confidence: f64,
+    pub canonical_id: Option<u64>,
+}
+
+#[derive(Debug, Clone)]
+pub struct RelationPrediction {
+    pub head_span: (usize, usize),
+    pub head_type: String,
+    pub tail_span: (usize, usize),
+    pub tail_type: String,
+    pub relation_type: String,
+    pub confidence: f64,
+}
+
+pub mod types { include!("types.rs"); }
+pub mod event_extractor { include!("event_extractor.rs"); }
+mod relations { use crate::{Entity, RelationPrediction}; include!("relations.rs");
+    pub fn cepr(e: &[Entity], t: &str, r: &[&str]) -> Vec<RelationPrediction> { create_entity_pair_relations(e, t, r) } }
+use relations::cepr;
+pub type Result<T> = std::result::Result<T, String>;
+
+// --- minimal JSON parsing (std only) ---
+fn json_str(s: &str) -> String {
+    let mut out = String::new();
+    let mut chars = s.chars();
+    while let Some(c) = chars.next() {
+        if c == '\\' {
+            match chars.next() {
+                Some('n') => out.push('\n'), Some('t') => out.push('\t'),
+                Some('r') => out.push('\r'), Some('"') => out.push('"'),
+                Some('\\') => out.push('\\'), Some('/') => out.push('/'),
+                Some('u') => {
+                    let h: String = chars.by_ref().take(4).collect();
+                    if let Ok(n) = u32::from_str_radix(&h, 16) {
+                        if (0xD800..0xDC00).contains(&n) {
+                            // surrogate pair
+                            let _ = chars.next(); let _ = chars.next(); // \u
+                            let h2: String = chars.by_ref().take(4).collect();
+                            if let Ok(n2) = u32::from_str_radix(&h2, 16) {
+                                let cp = 0x10000 + ((n - 0xD800) << 10) + (n2 - 0xDC00);
+                                if let Some(ch) = char::from_u32(cp) { out.push(ch); }
+                            }
+                        } else if let Some(ch) = char::from_u32(n) { out.push(ch); }
+                    }
+                }
+                Some(other) => out.push(other),
+                None => {}
+            }
+        } else { out.push(c); }
+    }
+    out
+}
+
+fn esc(s: &str) -> String {
+    let mut o = String::new();
+    for c in s.chars() {
+        match c {
+            '"' => o.push_str("\\\""), '\\' => o.push_str("\\\\"),
+            '\n' => o.push_str("\\n"), '\t' => o.push_str("\\t"), '\r' => o.push_str("\\r"),
+            c if (c as u32) < 0x20 => o.push_str(&format!("\\u{:04x}", c as u32)),
+            c => o.push(c),
+        }
+    }
+    o
+}
+
+fn main() {
+    let stdin = std::io::stdin();
+    let stdout = std::io::stdout();
+    let mut out = stdout.lock();
+    let ex = event_extractor::EventExtractor::new();
+    for line in stdin.lock().lines() {
+        let line = line.unwrap();
+        if line.trim().is_empty() { continue; }
+        // input format is TSV-encoded to dodge hand-rolled JSON parsing:
+        // text_json_escaped \t ent1_text|label|start|end|conf \x1e ent2...
+        let mut parts = line.splitn(2, '\t');
+        let text = json_str(parts.next().unwrap());
+        let ents_raw = parts.next().unwrap_or("");
+        let mut entities = Vec::new();
+        if !ents_raw.is_empty() {
+            for e in ents_raw.split('\x1e') {
+                let f: Vec<&str> = e.split('\x1f').collect();
+                if f.len() == 5 {
+                    entities.push(Entity {
+                        text: json_str(f[0]),
+                        entity_type: EntityTypeShim(f[1].to_string()),
+                        start: f[2].parse().unwrap(),
+                        end: f[3].parse().unwrap(),
+                        confidence: f[4].parse().unwrap(),
+                        canonical_id: None,
+                    });
+                }
+            }
+        }
+        let rels = cepr(&entities, &text, &[]);
+        let evs = ex.extract_with_entities(&text, &entities);
+        let mut line_out = String::from("{\"relations\":[");
+        for (i, r) in rels.iter().enumerate() {
+            if i > 0 { line_out.push(','); }
+            line_out.push_str(&format!(
+                "[{},{},{},{},\"{}\",{}]",
+                r.head_span.0, r.head_span.1, r.tail_span.0, r.tail_span.1,
+                esc(&r.relation_type), r.confidence));
+        }
+        line_out.push_str("],\"events\":[");
+        for (i, ev) in evs.iter().enumerate() {
+            if i > 0 { line_out.push(','); }
+            let args: Vec<String> = ev.arguments.iter()
+                .map(|(r, v)| format!("[\"{}\",\"{}\"]", esc(r), esc(v))).collect();
+            line_out.push_str(&format!(
+                "[\"{}\",{},{},\"{}\",\"{:?}\",\"{}\",{},[{}]]",
+                esc(&ev.trigger), ev.trigger_start, ev.trigger_end,
+                ev.trigger_type.clone().unwrap_or_default(),
+                ev.polarity,
+                ev.tense.map(|t| format!("{:?}", t)).unwrap_or_default(),
+                ev.confidence, args.join(",")));
+        }
+        line_out.push_str("]}");
+        writeln!(out, "{}", line_out).unwrap();
+    }
+}
+'''
+
+
+def _balanced_fn(src: str, marker: str) -> str:
+    start = src.index(marker)
+    i = src.index("{", start)
+    depth = 0
+    for j in range(i, len(src)):
+        if src[j] == "{":
+            depth += 1
+        elif src[j] == "}":
+            depth -= 1
+            if depth == 0:
+                return src[start : j + 1]
+    raise ValueError(marker)
+
+
+def _strip_docs(src: str) -> str:
+    return "\n".join(l for l in src.split("\n") if not l.startswith("//!"))
+
+
+def _cargo_toml(name: str) -> str:
+    return f'[package]\nname = "{name}"\nversion = "0.1.0"\nedition = "2021"\n'
+
+
+def build_refharness() -> None:
+    os.makedirs("/tmp/refharness/src", exist_ok=True)
+    src = open(f"{REF}/anno/src/ingest/url_resolver.rs", encoding="utf-8").read()
+    fn = _balanced_fn(src, "fn extract_text_from_html").replace("&self, ", "")
+    fn = re.sub(r"#\[allow\(dead_code\)\][^\n]*\n", "", fn)
+    main = (
+        "use std::io::Read;\n" + fn + "\n"
+        "fn main() {\n"
+        "    let mut buf = String::new();\n"
+        "    std::io::stdin().read_to_string(&mut buf).unwrap();\n"
+        "    print!(\"{}\", extract_text_from_html(&buf));\n"
+        "}\n"
+    )
+    open("/tmp/refharness/src/main.rs", "w", encoding="utf-8").write(main)
+    open("/tmp/refharness/Cargo.toml", "w", encoding="utf-8").write(_cargo_toml("refharness"))
+    subprocess.run(["cargo", "build", "--release"], cwd="/tmp/refharness", check=True)
+
+
+def build_heurharness() -> None:
+    os.makedirs("/tmp/heurharness/src", exist_ok=True)
+    heur = _strip_docs(open(f"{REF}/anno/src/backends/heuristic.rs", encoding="utf-8").read())
+    open("/tmp/heurharness/src/heuristic.rs", "w", encoding="utf-8").write(heur)
+    open("/tmp/heurharness/src/main.rs", "w", encoding="utf-8").write(HEUR_MAIN)
+    open("/tmp/heurharness/Cargo.toml", "w", encoding="utf-8").write(_cargo_toml("heurharness"))
+    subprocess.run(["cargo", "build", "--release"], cwd="/tmp/heurharness", check=True)
+
+
+def build_evharness() -> None:
+    os.makedirs("/tmp/evharness/src", exist_ok=True)
+    types = _strip_docs(open(f"{REF}/anno/src/discourse/types.rs", encoding="utf-8").read())
+    types = types.replace(", Serialize, Deserialize", "").replace("Serialize, Deserialize, ", "").replace("Serialize, Deserialize", "")
+    types = re.sub(r"#\[serde\([^\)]*\)\]\n", "", types)
+    types = types.replace("use serde::{Deserialize, Serialize};", "")
+    types = types.replace("use anno_core::Entity;", "use crate::Entity;")
+    open("/tmp/evharness/src/types.rs", "w", encoding="utf-8").write(types)
+
+    ev = _strip_docs(open(f"{REF}/anno/src/discourse/event_extractor.rs", encoding="utf-8").read())
+    ev = ev.replace(
+        "use super::{DiscourseReferent, EventMention, EventPolarity, EventTense, ReferentType};",
+        "use crate::types::{DiscourseReferent, EventMention, EventPolarity, EventTense, ReferentType};",
+    )
+    ev = ev.replace("use anno_core::Entity;", "use crate::Entity;")
+    open("/tmp/evharness/src/event_extractor.rs", "w", encoding="utf-8").write(ev)
+
+    cli = open(f"{REF}/anno-cli/src/main.rs", encoding="utf-8").read()
+    rel = _balanced_fn(cli, "fn create_entity_pair_relations")
+    rel = rel.replace(
+        "-> Vec<anno::eval::relation::RelationPrediction> {\n    use anno::eval::relation::RelationPrediction;",
+        "-> Vec<RelationPrediction> {",
+    )
+    open("/tmp/evharness/src/relations.rs", "w", encoding="utf-8").write(rel)
+    open("/tmp/evharness/src/main.rs", "w", encoding="utf-8").write(EV_MAIN)
+    open("/tmp/evharness/Cargo.toml", "w", encoding="utf-8").write(_cargo_toml("evharness"))
+    subprocess.run(["cargo", "build", "--release"], cwd="/tmp/evharness", check=True)
+
+
+def main() -> int:
+    build_refharness()
+    build_heurharness()
+    build_evharness()
+    print("all harnesses built under /tmp/{ref,heur,ev}harness")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
