@@ -156,6 +156,57 @@ def cmd_stats(args) -> int:
     return 0
 
 
+def cmd_eval(args) -> int:
+    """Triple-set P/R between two edge parquet dirs (J4 exact-match join)."""
+    import duckdb
+
+    from .functions.eval import triple_pr
+
+    con = duckdb.connect()
+    pred = con.execute(
+        f"SELECT url, subj, pred, obj FROM read_parquet('{args.pred}')"
+    ).fetch_arrow_table()
+    gold = con.execute(
+        f"SELECT url, subj, pred, obj FROM read_parquet('{args.gold}')"
+    ).fetch_arrow_table()
+    r = triple_pr(pred, gold)
+    print(json.dumps({
+        "precision": round(r.precision, 4), "recall": round(r.recall, 4),
+        "f1": round(r.f1, 4), "n_pred": r.n_pred, "n_gold": r.n_gold,
+        "n_match": r.n_match,
+    }))
+    return 0 if (r.precision >= args.gate and r.recall >= args.gate) else 1
+
+
+def cmd_strata(args) -> int:
+    """Leiden communities over a kg output (the strata command)."""
+    import duckdb
+
+    from .core import leiden
+
+    con = duckdb.connect()
+    edges = con.execute(
+        f"SELECT subj_node, obj_node FROM read_parquet('{args.kg}/edges/part=*/data.parquet')"
+    ).fetch_arrow_table()
+    pairs: dict = {}
+    for u, v in zip(edges.column("subj_node").to_pylist(), edges.column("obj_node").to_pylist()):
+        if u != v:
+            key = (u, v) if u < v else (v, u)
+            pairs[key] = pairs.get(key, 0.0) + 1.0
+    edge_list = [(u, v, w) for (u, v), w in pairs.items()]
+    if args.levels > 1:
+        out = leiden.hierarchical_cluster(edge_list, base_resolution=args.resolution, levels=args.levels)
+        for node in sorted(out)[: args.limit]:
+            print(node, json.dumps(out[node]))
+    else:
+        comm = leiden.cluster(edge_list, resolution=args.resolution)
+        from collections import Counter
+
+        sizes = Counter(comm.values())
+        print(f"{len(sizes)} communities over {len(comm)} nodes; largest: {sizes.most_common(5)}")
+    return 0
+
+
 def cmd_models(_args) -> int:
     from .functions import registry
 
@@ -205,6 +256,19 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--kg", required=True)
     p.add_argument("--num-cpus", type=int, default=None)
     p.set_defaults(fn=cmd_stats)
+
+    p = sub.add_parser("eval", help="triple P/R between two edge tables")
+    p.add_argument("--pred", required=True, help="parquet glob of predicted triples")
+    p.add_argument("--gold", required=True, help="parquet glob of gold triples")
+    p.add_argument("--gate", type=float, default=0.95)
+    p.set_defaults(fn=cmd_eval)
+
+    p = sub.add_parser("strata", help="Leiden communities over a kg output")
+    p.add_argument("--kg", required=True)
+    p.add_argument("--resolution", type=float, default=1.0)
+    p.add_argument("--levels", type=int, default=1)
+    p.add_argument("--limit", type=int, default=20)
+    p.set_defaults(fn=cmd_strata)
 
     p = sub.add_parser("models", help="list available extractors")
     p.set_defaults(fn=cmd_models)

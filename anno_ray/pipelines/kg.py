@@ -133,9 +133,40 @@ def docs_dataset(out_dir: str, columns: list[str] | None = None):
     return ray.data.read_parquet(os.path.join(out_dir, "docs"), columns=columns)
 
 
-def run_canonicalize_stage(out_dir: str, *, mode: str = canon.MODE_CDCR) -> pa.Table:
-    """Stage B: mentions -> canonical mapping table (also persisted)."""
+def _docs_fingerprint(out_dir: str) -> str:
+    """Hash of the docs-stage manifests: identifies the extract output."""
+    import hashlib
+
+    done = mf.completed_partitions(out_dir, "docs")
+    h = hashlib.blake2b(digest_size=16)
+    for pid in sorted(done):
+        h.update(pid.encode())
+        h.update(done[pid].get("content_hash", "").encode())
+    return h.hexdigest()
+
+
+def run_canonicalize_stage(
+    out_dir: str, *, mode: str = canon.MODE_CDCR, resume: bool = True
+) -> pa.Table:
+    """Stage B: mentions -> canonical mapping table (persisted + resumable:
+    when the docs stage is unchanged since the last run, the saved mapping is
+    reused instead of recomputing the shuffle)."""
+    import pyarrow.parquet as pq
+
     from ..stages.extract import mentions_table
+
+    mdir = os.path.join(out_dir, "canonical")
+    fp = _docs_fingerprint(out_dir)
+    meta_path = os.path.join(mdir, "_manifest.json")
+    map_path = os.path.join(mdir, "mapping.parquet")
+    if resume and os.path.exists(meta_path) and os.path.exists(map_path):
+        try:
+            with open(meta_path, encoding="utf-8") as f:
+                meta = json.load(f)
+            if meta.get("docs_fingerprint") == fp and meta.get("mode") == mode:
+                return pq.read_table(map_path)
+        except (json.JSONDecodeError, OSError):
+            pass
 
     # prune at the read: only url + the mentions column leave storage
     docs = docs_dataset(out_dir, columns=["url", "mentions"])
@@ -154,11 +185,10 @@ def run_canonicalize_stage(out_dir: str, *, mode: str = canon.MODE_CDCR) -> pa.T
     edges = canon.fuzzy_edges(surfaces, mode=mode)
     mapping = canon.build_canonical_map(surfaces, edges)
 
-    import pyarrow.parquet as pq
-
-    mdir = os.path.join(out_dir, "canonical")
     os.makedirs(mdir, exist_ok=True)
-    pq.write_table(mapping, os.path.join(mdir, "mapping.parquet"))
+    pq.write_table(mapping, map_path)
+    with open(meta_path, "w", encoding="utf-8") as f:
+        json.dump({"docs_fingerprint": fp, "mode": mode, "rows": mapping.num_rows}, f)
     return mapping
 
 
@@ -378,7 +408,7 @@ def run_kg_pipeline(
 ) -> dict:
     t0 = time.time()
     s_extract = run_extract_stage(pages_dir, out_dir, resume=resume)
-    mapping = run_canonicalize_stage(out_dir, mode=mode)
+    mapping = run_canonicalize_stage(out_dir, mode=mode, resume=resume)
     s_mat = run_materialize_stage(out_dir, mapping)
     stats = {
         "extract": s_extract,
