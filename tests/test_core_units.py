@@ -232,3 +232,26 @@ def test_type_mapper():
         "mit_movie", "mit_restaurant", "biomedical", "social_media", "manufacturing"
     }
     assert PRESETS["social_media"]().normalize("corporation") == "ORG"
+
+
+# --- coref golden (captured from the compiled reference resolve_coreference) --
+
+def test_coref_golden_partition():
+    import json
+    import os
+
+    from anno_ray.core.types import Mention
+
+    path = os.path.join(os.path.dirname(__file__), "golden", "coref_tracks.json")
+    with open(path, encoding="utf-8") as f:
+        cases = json.load(f)
+    for case in cases:
+        ents = [Mention(e["text"], e["label"], e["start"], e["end"], e["conf"]) for e in case["entities"]]
+        tracks, pronouns, _ = coref.build_tracks(case["text"], ents)
+        allm = ents + pronouns
+        mine = sorted(
+            f"{t.canonical_surface}|"
+            + ",".join(f"{a}:{b}" for a, b in sorted((allm[i].start, allm[i].end) for i in t.mention_idxs))
+            for t in tracks
+        )
+        assert mine == case["ref_tracks"], case["text"][:80]

@@ -20,6 +20,8 @@ import sys
 
 REF = "/root/reference"
 
+COREF_SHIM = '// Shim GroundedDocument just enough for resolve_coreference.\nuse std::collections::HashMap;\nuse std::io::Read;\n\n#[derive(Debug, Clone, PartialEq)]\npub enum Location { Text { start: usize, end: usize } }\nimpl Location {\n    pub fn text(start: usize, end: usize) -> Self { Location::Text { start, end } }\n}\n\n#[derive(Debug, Clone)]\npub struct Signal {\n    pub id: u64,\n    pub location: Location,\n    pub surface: String,\n    pub label: String,\n    pub confidence: f32,\n}\nimpl Signal {\n    pub fn new(id: u64, location: Location, surface: &str, label: &str, confidence: f32) -> Self {\n        Signal { id, location, surface: surface.to_string(), label: label.to_string(), confidence }\n    }\n}\n\n#[derive(Debug, Clone)]\npub struct SignalRef { pub signal_id: u64, pub position: u32 }\n\n#[derive(Debug, Clone)]\npub struct Track {\n    pub id: u64,\n    pub canonical_surface: String,\n    pub signals: Vec<SignalRef>,\n}\nimpl Track {\n    pub fn new(id: u64, canonical: impl Into<String>) -> Self {\n        Track { id, canonical_surface: canonical.into(), signals: Vec::new() }\n    }\n    pub fn add_signal(&mut self, signal_id: u64, position: u32) {\n        self.signals.push(SignalRef { signal_id, position });\n    }\n}\n\n#[derive(Debug, Default)]\npub struct GroundedDocument {\n    signals: Vec<Signal>,\n    tracks: HashMap<u64, Track>,\n    signal_to_track: HashMap<u64, u64>,\n    next_signal_id: u64,\n    next_track_id: u64,\n}\nimpl GroundedDocument {\n    pub fn add_signal(&mut self, mut signal: Signal) -> u64 {\n        let id = self.next_signal_id;\n        signal.id = id;\n        self.signals.push(signal);\n        self.next_signal_id += 1;\n        id\n    }\n    pub fn get_signal(&self, id: u64) -> Option<&Signal> {\n        self.signals.iter().find(|s| s.id == id)\n    }\n    pub fn signals(&self) -> &[Signal] { &self.signals }\n    pub fn add_track(&mut self, mut track: Track) -> u64 {\n        let id = self.next_track_id;\n        track.id = id;\n        for sr in &track.signals { self.signal_to_track.insert(sr.signal_id, id); }\n        self.tracks.insert(id, track);\n        self.next_track_id += 1;\n        id\n    }\n    pub fn get_track(&self, id: u64) -> Option<&Track> { self.tracks.get(&id) }\n    pub fn create_track_from_signals(&mut self, canonical: impl Into<String>, signal_ids: &[u64]) -> Option<u64> {\n        if signal_ids.is_empty() { return None; }\n        let mut track = Track::new(0, canonical);\n        for (pos, &id) in signal_ids.iter().enumerate() { track.add_signal(id, pos as u32); }\n        Some(self.add_track(track))\n    }\n    pub fn add_signal_to_track(&mut self, signal_id: u64, track_id: u64, position: u32) -> bool {\n        if let Some(track) = self.tracks.get_mut(&track_id) {\n            track.add_signal(signal_id, position);\n            self.signal_to_track.insert(signal_id, track_id);\n            true\n        } else { false }\n    }\n    pub fn tracks(&self) -> impl Iterator<Item = &Track> { self.tracks.values() }\n}\n\nfn normalize_entity_name(name: &str) -> String { name.to_lowercase().trim().to_string() }\n\nREPLACED_FNS\n\nfn main() {\n    // stdin: text \\t surface|label|start|end \\x1e ...   (json-ish escapes in text)\n    let mut buf = String::new();\n    std::io::stdin().read_to_string(&mut buf).unwrap();\n    for line in buf.lines() {\n        if line.is_empty() { println!(); continue; }\n        let mut parts = line.splitn(2, \'\\t\');\n        let text = parts.next().unwrap()\n            .replace("\\\\n", "\\n").replace("\\\\t", "\\t").replace("\\\\\\\\", "\\\\");\n        let ents_raw = parts.next().unwrap_or("");\n        let mut doc = GroundedDocument::default();\n        let mut ids = Vec::new();\n        if !ents_raw.is_empty() {\n            for e in ents_raw.split(\'\\x1e\') {\n                let f: Vec<&str> = e.split(\'\\x1f\').collect();\n                if f.len() == 4 {\n                    let s: usize = f[2].parse().unwrap();\n                    let en: usize = f[3].parse().unwrap();\n                    let sig = Signal::new(0, Location::text(s, en), f[0], f[1], 0.9);\n                    ids.push(doc.add_signal(sig));\n                }\n            }\n        }\n        resolve_coreference(&mut doc, &text, &ids);\n        // output: tracks as canonical|span,span,... sorted for determinism\n        let mut out: Vec<String> = doc.tracks().map(|t| {\n            let mut spans: Vec<(usize, usize)> = t.signals.iter().filter_map(|sr| {\n                doc.get_signal(sr.signal_id).map(|s| match s.location { Location::Text { start, end } => (start, end) })\n            }).collect();\n            spans.sort();\n            format!("{}|{}", t.canonical_surface,\n                spans.iter().map(|(a, b)| format!("{}:{}", a, b)).collect::<Vec<_>>().join(","))\n        }).collect();\n        out.sort();\n        println!("{}", out.join("\\x1e"));\n    }\n}\n'
+
 HEUR_MAIN = r'''
 // ---- shims for crate items used by heuristic.rs ----
 pub type Result<T> = std::result::Result<T, String>;
@@ -323,10 +325,29 @@ def build_evharness() -> None:
     subprocess.run(["cargo", "build", "--release"], cwd="/tmp/evharness", check=True)
 
 
+def _balanced_from(src: str, marker: str) -> str:
+    return _balanced_fn(src, marker)
+
+
+def build_corefharness() -> None:
+    os.makedirs("/tmp/corefharness/src", exist_ok=True)
+    cli = open(f"{REF}/anno-cli/src/main.rs", encoding="utf-8").read()
+    fns = "\n\n".join(
+        _balanced_from(cli, m)
+        for m in ("fn resolve_coreference", "fn is_likely_male", "fn is_likely_female")
+    )
+    open("/tmp/corefharness/src/main.rs", "w", encoding="utf-8").write(
+        COREF_SHIM.replace("REPLACED_FNS", fns)
+    )
+    open("/tmp/corefharness/Cargo.toml", "w", encoding="utf-8").write(_cargo_toml("corefharness"))
+    subprocess.run(["cargo", "build", "--release"], cwd="/tmp/corefharness", check=True)
+
+
 def main() -> int:
     build_refharness()
     build_heurharness()
     build_evharness()
+    build_corefharness()
     print("all harnesses built under /tmp/{ref,heur,ev}harness")
     return 0
 
