@@ -105,13 +105,13 @@ def test_nodes_edges_sorted_and_consistent(kg_out):
 
 
 def test_triple_pr_gate_against_reference_semantics(kg_out, pages_dir):
-    """P/R >= 0.95 gate: pipeline triples vs independently computed gold
-    triples (core reimplementation verified char-exact against the compiled
-    reference harnesses in tests/golden)."""
+    """P/R >= 0.95 gate: pipeline triples vs the PINNED gold triple parquet
+    (generated once by the chain that was verified char-exact against the
+    compiled reference harnesses; pins regressions in any stage)."""
+    import os
+
     import duckdb
 
-    from anno_ray.core import stacked
-    from anno_ray.core.document import process_document
     from anno_ray.functions.eval import triple_pr
 
     out, _ = kg_out
@@ -119,23 +119,52 @@ def test_triple_pr_gate_against_reference_semantics(kg_out, pages_dir):
     pred = con.execute(
         f"SELECT url, subj, pred, obj FROM read_parquet('{out}/edges/part=*/data.parquet')"
     ).fetch_arrow_table()
-
-    # gold: drive the per-doc core directly (no Ray) over the same pages
-    rows = con.execute(
-        f"SELECT url, html FROM read_parquet('{pages_dir}/*.parquet')"
-    ).fetchall()
-    gold_rows = {"url": [], "subj": [], "pred": [], "obj": []}
-    for url, html in rows:
-        res = process_document(url, html.decode("utf-8"))
-        for t in res.triples:
-            gold_rows["url"].append(url)
-            gold_rows["subj"].append(t["subj"])
-            gold_rows["pred"].append(t["pred"])
-            gold_rows["obj"].append(t["obj"])
-    gold = pa.table({k: pa.array(v) for k, v in gold_rows.items()})
+    gold_path = os.path.join(os.path.dirname(__file__), "golden", "gold_triples.parquet")
+    gold = con.execute(
+        f"SELECT url, subj, pred, obj FROM read_parquet('{gold_path}')"
+    ).fetch_arrow_table()
 
     pr = triple_pr(pred, gold)
     assert pr.precision >= 0.95 and pr.recall >= 0.95, pr
+    assert pr.precision == 1.0 and pr.recall == 1.0, pr  # currently exact
+
+
+def test_text_and_mentions_match_gold_parquet(kg_out, pages_dir):
+    """Extracted text byte-identical + mention spans exact vs pinned goldens."""
+    import os
+
+    import duckdb
+
+    from anno_ray.core.document import process_document
+    from anno_ray.functions.eval import mention_pr
+
+    gold_dir = os.path.join(os.path.dirname(__file__), "golden")
+    con = duckdb.connect()
+    gold_text = dict(
+        con.execute(
+            f"SELECT url, text FROM read_parquet('{gold_dir}/gold_text.parquet')"
+        ).fetchall()
+    )
+    rows = con.execute(
+        f"SELECT url, html FROM read_parquet('{pages_dir}/*.parquet')"
+    ).fetchall()
+    pred_m = {"url": [], "start": [], "end": [], "label": []}
+    for url, html in rows:
+        res = process_document(url, html.decode("utf-8"))
+        assert res.text == gold_text[url]  # byte-identical per url
+        for m in res.mentions:
+            if m.label == "PRON":
+                continue
+            pred_m["url"].append(url)
+            pred_m["start"].append(m.start)
+            pred_m["end"].append(m.end)
+            pred_m["label"].append(m.label)
+    gold_m = con.execute(
+        f"SELECT url, start, \"end\", label FROM read_parquet('{gold_dir}/gold_mentions.parquet')"
+    ).fetch_arrow_table()
+    pred = pa.table({k: pa.array(v) for k, v in pred_m.items()})
+    pr = mention_pr(pred, gold_m)
+    assert pr.precision == 1.0 and pr.recall == 1.0, pr
 
 
 def test_resume_byte_identical(kg_out, pages_dir):
