@@ -181,7 +181,14 @@ def run_canonicalize_stage(
     surfaces_ds = canon.surface_groups(ner, type_col="label", surface_col="norm_surface")
     # collect the (small) distinct-surface table ONCE; both the edge pass and
     # the merge consume it, avoiding a second execution of the explode+groupby
+    surfaces_ds = surfaces_ds.materialize()
     surfaces = canon.collect_surfaces(surfaces_ds)
+    try:  # persist ds.stats() for the wide stage (observability)
+        os.makedirs(mdir, exist_ok=True)
+        with open(os.path.join(mdir, "_ray_stats.txt"), "w", encoding="utf-8") as f:
+            f.write(surfaces_ds.stats())
+    except Exception:
+        pass
     edges = canon.fuzzy_edges(surfaces, mode=mode)
     mapping = canon.build_canonical_map(surfaces, edges)
 

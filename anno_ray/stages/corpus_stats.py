@@ -184,3 +184,9 @@ def filter_clusters(
         return b.filter(mask)
 
     return clusters.map_batches(flt, batch_format="pyarrow")
+
+
+def sample_docs(ds, fraction: float = 0.1, seed: int = 42):
+    """Seeded random sample (O4; the eval-sampling analog)."""
+    register_for_ray()
+    return ds.random_sample(fraction, seed=seed)

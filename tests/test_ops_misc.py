@@ -274,3 +274,11 @@ def test_corpus_stats_and_clusters(ray_session):
     assert list(top.doc_count) == sorted(top.doc_count, reverse=True)
     flt = filter_clusters(clusters, cross_doc_only=True).to_pandas()
     assert (flt.doc_count > 1).all()
+
+
+def test_sample_docs(docs_ds):
+    from anno_ray.stages.corpus_stats import sample_docs
+
+    a = sample_docs(docs_ds, 0.5, seed=1).to_pandas()
+    b = sample_docs(docs_ds, 0.5, seed=1).to_pandas()
+    assert list(a.doc_id) == list(b.doc_id)  # seeded -> deterministic
