@@ -401,6 +401,7 @@ def run_materialize_stage(out_dir: str, mapping: pa.Table) -> dict:
     )
 
     for stage in ("nodes", "edges"):
+        os.makedirs(os.path.join(out_dir, stage), exist_ok=True)
         with open(os.path.join(out_dir, stage, "_SUCCESS"), "w", encoding="utf-8") as f:
             json.dump({"stage": stage}, f)
     return {"nodes": nodes_stats, "edges": edges_stats}

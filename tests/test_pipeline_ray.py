@@ -205,3 +205,28 @@ def test_canonical_mapping_clusters(kg_out):
     ).fetchall()
     for etype, cname, cid in row:
         assert cid == canonical_hash(etype, cname)
+
+
+def test_degenerate_inputs(ray_session, tmp_path):
+    """Empty html, script-only pages, plain text, and a zero-row corpus all
+    flow through the full pipeline without error."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from anno_ray.fixtures.pages import generate_pages_table
+    from anno_ray.pipelines.kg import run_kg_pipeline
+
+    d = tmp_path / "pages"
+    d.mkdir()
+    t = generate_pages_table(0, 3)
+    t = t.set_column(
+        t.column_names.index("html"), "html",
+        pa.array([b"", b"<script>only</script>", b"plain no tags"], pa.binary()),
+    )
+    pq.write_table(t, str(d / "pages_00000.parquet"))
+    pq.write_table(generate_pages_table(0, 0), str(d / "pages_00001.parquet"))
+    out = str(tmp_path / "kg")
+    stats = run_kg_pipeline(str(d), out, resume=False)
+    assert stats["extract"]["shards_run"] == 2
+    # zero-triple corpus still produces a valid (empty) edges stage
+    assert stats["materialize"]["edges"]["rows_written"] >= 0
