@@ -427,3 +427,134 @@ def attach_canonical(
         batch_format="pyarrow",
         concurrency=concurrency or (1, 8),
     )
+
+
+# --- 3b. distributed merge (scale path) --------------------------------------
+
+def build_canonical_map_distributed(
+    surfaces,
+    edges,
+    *,
+    max_iters: int = 24,
+    num_partitions: int | None = None,
+) -> pa.Table:
+    """Connected components via iterated min-label propagation + pointer
+    doubling on Ray Data — the web-scale replacement for the driver-side
+    union-find when the distinct-surface table no longer fits one process.
+
+    Per round: label(k) <- min(label(k), min label over neighbors), then one
+    pointer-jump label(k) <- label(label(k)). Converges in O(log diameter)
+    rounds; each round is two hash joins + groupby-min over (k, label) pairs.
+    Produces EXACTLY the same mapping as ``build_canonical_map``
+    (representative = lexicographic-min member; verified in tests).
+    """
+    import ray
+    import ray.data
+
+    register_for_ray()
+    surf_tbl = _to_table(surfaces, ["entity_type", "norm_surface"])
+    edge_tbl = _to_table(edges, ["type_a", "surface_a", "type_b", "surface_b"])
+    if num_partitions is None:
+        num_partitions = min(16, max(2, surf_tbl.num_rows // 100_000 + 2))
+
+    def key_col(types, names):
+        return [f"{t}\x00{s}" for t, s in zip(types, names)]
+
+    keys = key_col(
+        surf_tbl.column("entity_type").to_pylist(),
+        surf_tbl.column("norm_surface").to_pylist(),
+    )
+    labels = ray.data.from_arrow(
+        pa.table({"k": pa.array(keys, pa.string()), "label": pa.array(keys, pa.string())})
+    ).materialize()
+    ka = key_col(edge_tbl.column("type_a").to_pylist(), edge_tbl.column("surface_a").to_pylist())
+    kb = key_col(edge_tbl.column("type_b").to_pylist(), edge_tbl.column("surface_b").to_pylist())
+    sym = ray.data.from_arrow(
+        pa.table({"src": pa.array(ka + kb, pa.string()), "dst": pa.array(kb + ka, pa.string())})
+    ).materialize()
+
+    from ray.data.aggregate import Min
+
+    def _rename_min(b: pa.Table) -> pa.Table:
+        return b.rename_columns(
+            [{"min(label)": "label"}.get(c, c) for c in b.column_names]
+        )
+
+    def _sig_batch(b: pa.Table) -> pa.Table:
+        import hashlib as _h
+
+        acc = 0
+        for k, lab in zip(b.column("k").to_pylist(), b.column("label").to_pylist()):
+            d = _h.blake2b(f"{k}\x00{lab}".encode("utf-8"), digest_size=8).digest()
+            acc = (acc + int.from_bytes(d, "big")) & ((1 << 64) - 1)
+        return pa.table({"sig": pa.array([acc], pa.uint64())})
+
+    def signature(ds_):
+        return sum(
+            r["sig"] for r in ds_.map_batches(_sig_batch, batch_format="pyarrow").take_all()
+        ) & ((1 << 64) - 1)
+
+    old_sig = signature(labels)
+    for _ in range(max_iters):
+        # neighbor min propagation
+        prop = sym.join(
+            labels, join_type="inner", num_partitions=num_partitions,
+            on=("src",), right_on=("k",),
+        ).map_batches(
+            lambda b: pa.table({"k": b.column("dst"), "label": b.column("label")}),
+            batch_format="pyarrow",
+        )
+        stepped = (
+            labels.union(prop).groupby("k").aggregate(Min("label"))
+            .map_batches(_rename_min, batch_format="pyarrow")
+        ).materialize()
+        # pointer doubling: label <- label(label) (O(log diameter) rounds)
+        as_lookup = stepped.map_batches(
+            lambda b: pa.table({"k2": b.column("k"), "label2": b.column("label")}),
+            batch_format="pyarrow",
+        )
+        labels = (
+            stepped.join(
+                as_lookup, join_type="left_outer", num_partitions=num_partitions,
+                on=("label",), right_on=("k2",),
+            )
+            .map_batches(
+                lambda b: pa.table(
+                    {
+                        "k": b.column("k"),
+                        "label": pc.coalesce(
+                            pc.min_element_wise(b.column("label"), b.column("label2")),
+                            b.column("label"),
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .groupby("k")
+            .aggregate(Min("label"))
+            .map_batches(_rename_min, batch_format="pyarrow")
+        ).materialize()
+        new_sig = signature(labels)
+        if new_sig == old_sig:
+            break
+        old_sig = new_sig
+
+    final = _to_table(labels, ["k", "label"])
+    lab_of = dict(zip(final.column("k").to_pylist(), final.column("label").to_pylist()))
+    types_out, surfaces_out, cids, cnames = [], [], [], []
+    for k in keys:
+        t, sfc = k.split("\x00", 1)
+        rep = lab_of.get(k, k)
+        rt, rs = rep.split("\x00", 1)
+        types_out.append(t)
+        surfaces_out.append(sfc)
+        cids.append(canonical_hash(rt, rs))
+        cnames.append(rs)
+    return pa.table(
+        {
+            "entity_type": pa.array(types_out, pa.string()),
+            "norm_surface": pa.array(surfaces_out, pa.string()),
+            "canonical_id": pa.array(cids, pa.int64()),
+            "canonical_name": pa.array(cnames, pa.string()),
+        }
+    )

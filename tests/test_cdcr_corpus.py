@@ -116,3 +116,56 @@ def test_head_entity_skew_combiner(ray_session):
     assert us.iloc[0]["sum(n_mentions)"] >= 24  # 40% of 60 docs x >=1 mention
     # the distinct-surface table is tiny despite the hot key
     assert len(df) < 100
+
+
+def test_distributed_components_match_unionfind(cdcr_mentions):
+    """The scale-path label propagation must produce the exact mapping the
+    driver-side union-find produces."""
+    surfaces = canon.collect_surfaces(
+        canon.surface_groups(cdcr_mentions, type_col="label", surface_col="norm_surface")
+    )
+    edges = canon.fuzzy_edges(surfaces, mode=canon.MODE_CDCR)
+    a = canon.build_canonical_map(surfaces, edges)
+    b = canon.build_canonical_map_distributed(surfaces, edges)
+    da = {(t, s): (c, n) for t, s, c, n in zip(
+        a.column("entity_type").to_pylist(), a.column("norm_surface").to_pylist(),
+        a.column("canonical_id").to_pylist(), a.column("canonical_name").to_pylist())}
+    db = {(t, s): (c, n) for t, s, c, n in zip(
+        b.column("entity_type").to_pylist(), b.column("norm_surface").to_pylist(),
+        b.column("canonical_id").to_pylist(), b.column("canonical_name").to_pylist())}
+    assert da == db
+
+
+def test_distributed_components_random_graph(ray_session):
+    """Shallow random graph (the similarity-cluster regime): distributed CC
+    must equal union-find CC. One star-heavy graph keeps the per-round Ray
+    join overhead out of the test budget; chain convergence is covered by the
+    pointer-doubling step (O(log diameter))."""
+    import random
+
+    import pyarrow as pa
+
+    rng = random.Random(7)
+    n = 60
+    keys = [("T", f"s{i:03d}") for i in range(n)]
+    edges = []
+    # star-ish components: nodes attach to one of 8 hubs, plus a few cross links
+    hubs = list(range(8))
+    for i in range(8, n):
+        edges.append((keys[rng.choice(hubs)], keys[i]))
+    for _ in range(6):
+        a, b = rng.sample(hubs, 2)
+        edges.append((keys[a], keys[b]))
+    surf = pa.table({
+        "entity_type": pa.array([k[0] for k in keys]),
+        "norm_surface": pa.array([k[1] for k in keys]),
+    })
+    et = pa.table({
+        "type_a": pa.array([a[0] for a, b in edges]),
+        "surface_a": pa.array([a[1] for a, b in edges]),
+        "type_b": pa.array([b[0] for a, b in edges]),
+        "surface_b": pa.array([b[1] for a, b in edges]),
+    })
+    a = canon.build_canonical_map(surf, et)
+    b = canon.build_canonical_map_distributed(surf, et)
+    assert a.sort_by("norm_surface").equals(b.sort_by("norm_surface"))
