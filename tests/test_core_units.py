@@ -255,3 +255,51 @@ def test_coref_golden_partition():
             for t in tracks
         )
         assert mine == case["ref_tracks"], case["text"][:80]
+
+
+# --- stacked multi-overlap quirks (stacked.rs:653-744 semantics) -------------
+
+def _layer(ms):
+    return lambda text: [Mention(*m) for m in ms]
+
+
+def test_stacked_multi_overlap_priority_removes_others():
+    """Priority + multi-overlap: candidate is dropped AND the non-best
+    existing overlapping entities are removed (reference behavior)."""
+    l1 = _layer([("a", "PER", 0, 5, 0.9), ("b", "ORG", 6, 10, 0.9)])
+    l2 = _layer([("c", "LOC", 3, 8, 0.9)])  # overlaps both
+    ms = stacked.extract("0123456789xyz", layers=[l1, l2], strategy=stacked.PRIORITY)
+    assert [(m.text, m.label) for m in ms] == [("a", "PER")]  # b removed, c dropped
+
+
+def test_stacked_multi_overlap_longest_span():
+    l1 = _layer([("a", "PER", 0, 4, 0.9), ("b", "ORG", 5, 8, 0.9)])
+    l2 = _layer([("c", "LOC", 0, 9, 0.5)])  # longer than both
+    ms = stacked.extract("0123456789xyz", layers=[l1, l2], strategy=stacked.LONGEST_SPAN)
+    assert [(m.text, m.label) for m in ms] == [("c", "LOC")]
+
+
+def test_stacked_multi_overlap_highest_conf():
+    l1 = _layer([("a", "PER", 0, 4, 0.6), ("b", "ORG", 5, 8, 0.7)])
+    l2 = _layer([("c", "LOC", 2, 7, 0.95)])
+    ms = stacked.extract("0123456789xyz", layers=[l1, l2], strategy=stacked.HIGHEST_CONF)
+    assert [(m.text, m.label) for m in ms] == [("c", "LOC")]
+    # lower-conf candidate loses; others still removed
+    l2b = _layer([("c", "LOC", 2, 7, 0.1)])
+    ms = stacked.extract("0123456789xyz", layers=[l1, l2b], strategy=stacked.HIGHEST_CONF)
+    assert [(m.text, m.label) for m in ms] == [("b", "ORG")]  # best kept, a removed
+
+
+def test_stacked_union_keeps_everything():
+    l1 = _layer([("a", "PER", 0, 4, 0.6), ("b", "ORG", 5, 8, 0.7)])
+    l2 = _layer([("c", "LOC", 2, 7, 0.95)])
+    ms = stacked.extract("0123456789xyz", layers=[l1, l2], strategy=stacked.UNION)
+    assert len(ms) == 3
+
+
+def test_stacked_dedup_same_span_and_type():
+    l1 = _layer([("x", "PER", 0, 3, 0.6)])
+    l2 = _layer([("x", "PER", 0, 3, 0.9)])
+    # Priority: second layer's identical span overlaps -> dropped anyway
+    ms = stacked.extract("0123456789", layers=[l1, l2])
+    assert len(ms) == 1 and ms[0].conf == 0.6
