@@ -151,12 +151,14 @@ def oracle_sql() -> dict[str, str]:
             ) GROUP BY user_id
         """,
         "docs_by_lang": """
-            SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS total_chars
             FROM documents GROUP BY lang
         """,
         "doc_token_stats": """
             SELECT lang,
-                   SUM(LENGTH(regexp_extract_all(text, '\\S+'))) AS total_tokens,
+                   CAST(SUM(LENGTH(regexp_extract_all(text, '\\S+'))) AS BIGINT)
+                       AS total_tokens,
                    COUNT(*) AS n_docs
             FROM documents GROUP BY lang
         """,

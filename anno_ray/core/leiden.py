@@ -5,12 +5,17 @@ deterministic seeded visiting order (/root/reference/strata/src/leiden.rs:
 58-226) and the hierarchical wrapper (resolutions r * 2^level,
 strata/src/lib.rs:80-105). The reference recomputes global modularity per
 candidate move (O(E) each); we use the standard incremental delta-modularity
-formulation — identical objective, orders of magnitude faster — plus an
-aggregation phase (Louvain-style) the reference stubs out.
+formulation — identical objective, orders of magnitude faster. Like the
+reference, this is single-level local moving only (the reference stubs out
+the Leiden refinement/aggregation phase).
+
+Note ``cluster`` is edge-driven: nodes that appear in no edge are absent
+from the returned mapping — callers holding a node table must treat missing
+nodes as singleton communities (see stages/communities.py, which does).
 
 Runs driver-side on the post-canonicalization graph (nodes/edges fit after
-the big shuffles); a distributed label-propagation variant can replace it for
-graphs that don't.
+the big shuffles); the distributed label-propagation variant in
+stages/communities.py replaces it for graphs that don't.
 """
 
 from __future__ import annotations

@@ -139,17 +139,31 @@ def docs_containing_word(sf_dir: str, word: str = "table"):
     return pd.DataFrame({"n_docs": [total]})
 
 
-def ann_cosine_topk(sf_dir: str, n_queries: int = 10, k: int = 5):
-    """Brute-force cosine top-k: first n_queries vectors vs the corpus."""
+def _query_head(ds, n_queries: int):
+    """The n_queries query vectors (vec_id 0..n-1) via a cheap distributed
+    filter — NOT a global sort: vec_ids are dense 0-based, so a predicate
+    selects the head without moving the corpus."""
     import ray
 
+    head = ds.filter(
+        expr=f"vec_id < {n_queries}"
+    )
+    tbl = pa.concat_tables(
+        [ray.get(r) for r in head.to_arrow_refs()], promote_options="permissive"
+    )
+    order = pc.sort_indices(tbl, sort_keys=[("vec_id", "ascending")])
+    tbl = tbl.take(order)
+    qids = tbl.column("vec_id").to_pylist()
+    qm = np.array(tbl.column("embedding").to_pylist(), dtype=np.float32)
+    return qids, qm
+
+
+def ann_cosine_topk(sf_dir: str, n_queries: int = 10, k: int = 5):
+    """Brute-force cosine top-k: first n_queries vectors vs the corpus."""
     from ..stages.similarity import cosine_topk
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    head = ds.sort("vec_id").limit(n_queries)
-    tbl = pa.concat_tables([ray.get(r) for r in head.to_arrow_refs()])
-    qids = tbl.column("vec_id").to_pylist()
-    qm = np.array(tbl.column("embedding").to_pylist(), dtype=np.float32)
+    qids, qm = _query_head(ds, n_queries)
     out = cosine_topk(ds, qids, qm, k=k)
     return out.select(["query_id", "rank", "neighbor_id"])  # pa.Table
 
@@ -157,15 +171,10 @@ def ann_cosine_topk(sf_dir: str, n_queries: int = 10, k: int = 5):
 def ann_lsh_topk(sf_dir: str, n_queries: int = 10, k: int = 5):
     """LSH-bucketed approximate variant (rows-only check; recall measured in
     tests against the exact result)."""
-    import ray
-
     from ..stages.similarity import lsh_cosine_topk
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    head = ds.sort("vec_id").limit(n_queries)
-    tbl = pa.concat_tables([ray.get(r) for r in head.to_arrow_refs()])
-    qids = tbl.column("vec_id").to_pylist()
-    qm = np.array(tbl.column("embedding").to_pylist(), dtype=np.float32)
+    qids, qm = _query_head(ds, n_queries)
     return lsh_cosine_topk(ds, qids, qm, k=k)
 
 

@@ -268,13 +268,28 @@ def union_names_count(sf_dir: str):
 
 
 def customers_without_orders(sf_dir: str):
-    """Broadcast ANTI join: customers with no orders."""
+    """ANTI join: customers with no orders.
+
+    The big (fact) side is first reduced DISTRIBUTEDLY to its distinct keys —
+    a per-block set combiner then a groupby — so only the customer-sized
+    distinct-key set ever reaches the driver/broadcast, never a fact-table
+    projection."""
     import pandas as pd
     import ray
 
     orders = _read(sf_dir, "orders", ["o_custkey"])
+
+    def _distinct_block(b: pa.Table) -> pa.Table:
+        keys = pc.unique(b.column("o_custkey"))
+        return pa.table({"o_custkey": keys})
+
+    distinct = (
+        orders.map_batches(_distinct_block, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .count()
+    )
     custkeys_with_orders = set()
-    for ref in orders.to_arrow_refs():
+    for ref in distinct.to_arrow_refs():
         t = ray.get(ref)
         custkeys_with_orders.update(t.column("o_custkey").to_pylist())
     have_ref = ray.put(custkeys_with_orders)

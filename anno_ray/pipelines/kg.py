@@ -32,15 +32,20 @@ from ..stages.extract import extract_batch
 
 _PAGE_COLUMNS = ["url", "html", "lang"]
 
-def _pool_max() -> int:
-    """Actor-pool ceiling = cluster CPUs (idle actors don't burn cores; the
-    streaming executor backpressures)."""
-    try:
-        import ray
 
-        return max(4, int(ray.cluster_resources().get("CPU", 8)))
-    except Exception:
-        return 8
+def _shard_pid(path: str) -> str:
+    """Stable partition id from the input path's basename (NOT its position in
+    the current directory listing): if files are added/removed between runs, a
+    pending file can never collide with a different file's completed
+    partition. Basenames are unique within one pages dir; the hash suffix
+    guards against sanitization collisions."""
+    import hashlib
+    import re as _re
+
+    base = os.path.splitext(os.path.basename(path))[0]
+    safe = _re.sub(r"[^A-Za-z0-9_.-]", "_", base)[:64]
+    h = hashlib.blake2b(base.encode("utf-8"), digest_size=4).hexdigest()
+    return f"{safe}-{h}"
 
 
 
@@ -109,11 +114,7 @@ def run_extract_stage(
         pending, skipped = files, []
 
     if pending:
-        items = [
-            {"path": p, "pid": f"{i:05d}"}
-            for i, p in enumerate(files)
-            if p in set(pending)
-        ]
+        items = [{"path": p, "pid": _shard_pid(p)} for p in pending]
         shards = ray.data.from_items(items)
         res = shards.map_batches(
             ExtractShard,
@@ -350,6 +351,23 @@ class FusedMaterialize:
         return node_partial
 
 
+def _materialize_fingerprint(out_dir: str, mapping: pa.Table) -> str:
+    """Identifies the (docs, canonical mapping) generation an edges/nodes
+    partition was derived from. A resumed run invalidates completed
+    partitions whose recorded fingerprint differs — preventing a
+    mixed-generation graph when docs or the mapping changed."""
+    import hashlib
+
+    h = hashlib.blake2b(digest_size=16)
+    h.update(_docs_fingerprint(out_dir).encode())
+    for col in ("entity_type", "norm_surface", "canonical_id"):
+        for chunk in mapping.column(col).chunks:
+            for v in chunk:
+                h.update(str(v.as_py()).encode("utf-8", "replace"))
+                h.update(b"\x00")
+    return h.hexdigest()
+
+
 def run_materialize_stage(out_dir: str, mapping: pa.Table) -> dict:
     """Stage C: sorted canonical node/edge parquet + manifests (fused pass)."""
     import shutil
@@ -393,11 +411,16 @@ def run_materialize_stage(out_dir: str, mapping: pa.Table) -> dict:
         resume=False,
     )
 
-    edges_done = mfst.completed_partitions(out_dir, "edges")
+    fp = _materialize_fingerprint(out_dir, mapping)
+    edges_done = {
+        pid: m
+        for pid, m in mfst.completed_partitions(out_dir, "edges").items()
+        if m.get("metrics", {}).get("fingerprint") == fp
+    }
     edges_stats = merge_spilled(
         spill_dir, out_dir, "edges",
         sort_keys=["subj_node", "pred", "obj_node"], n_parts=n_parts,
-        done=edges_done,
+        done=edges_done, fingerprint=fp,
     )
 
     for stage in ("nodes", "edges"):

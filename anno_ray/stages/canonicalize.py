@@ -203,6 +203,7 @@ def _edges_from_surface_table(
     sim = string_similarity if mode == MODE_CDCR else jaccard_similarity
     seen_pairs: set[tuple[int, int]] = set()
     ea, eb, et_a, et_b = [], [], [], []
+    overflow = 0
     for band in range(num_bands):
         col = bands[:, band]
         order = np.argsort(col, kind="stable")
@@ -216,7 +217,14 @@ def _edges_from_surface_table(
                 continue
             members = order[s:e]
             if len(members) > max_bucket:
-                members = np.sort(members)[:max_bucket]
+                # same deterministic skew defense as the distributed path
+                # (_bucket_edges): keep the lexicographically smallest
+                # (surface, type) members, so single-task and distributed
+                # modes produce identical edges on overflowing buckets.
+                overflow += len(members) - max_bucket
+                members = sorted(
+                    members, key=lambda i: (surfaces[i], types[i])
+                )[:max_bucket]
             for x in range(len(members)):
                 i = members[x]
                 for y in range(x + 1, len(members)):
@@ -232,6 +240,13 @@ def _edges_from_surface_table(
                     if sim(surfaces[i], surfaces[j]) >= threshold:
                         ea.append(surfaces[i]); eb.append(surfaces[j])
                         et_a.append(types[i]); et_b.append(types[j])
+    if overflow:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "LSH bucket overflow: %d surfaces dropped beyond cap %d",
+            overflow, max_bucket,
+        )
     return pa.table(
         {
             "type_a": pa.array(et_a, pa.string()),

@@ -49,16 +49,17 @@ def boundaries_from_keys(keys: list[str], num_partitions: int) -> list[str]:
 def _batch_tag(batch: pa.Table, key: str) -> str:
     """Deterministic per-batch tag -> idempotent spill filenames under task
     retry (a retried block overwrites its own partials instead of appending
-    duplicates)."""
+    duplicates). Hashes EVERY key value, not a sample: two distinct batches
+    with equal row counts and coincidentally equal sampled keys must not
+    collide (they would silently overwrite each other's spill files)."""
     import hashlib
 
     h = hashlib.blake2b(digest_size=10)
-    col = batch.column(key)
-    n = batch.num_rows
-    h.update(str(n).encode())
-    for idx in (0, n // 2, n - 1):
-        v = col[idx].as_py()
-        h.update(str(v).encode("utf-8", "replace"))
+    h.update(str(batch.num_rows).encode())
+    for chunk in batch.column(key).chunks:
+        for v in chunk:
+            h.update(str(v.as_py()).encode("utf-8", "replace"))
+            h.update(b"\x00")
     return h.hexdigest()
 
 
@@ -114,6 +115,7 @@ def write_sorted(
     boundary_keys: list[str] | None = None,
     num_partitions: int = 8,
     resume: bool = True,
+    fingerprint: str | None = None,
 ) -> dict:
     """Write a Dataset as deterministic sorted range partitions + manifests."""
     import ray
@@ -146,7 +148,7 @@ def write_sorted(
 
     stats = merge_spilled(
         spill_dir, out_dir, stage,
-        sort_keys=sort_keys, n_parts=n_parts, done=done,
+        sort_keys=sort_keys, n_parts=n_parts, done=done, fingerprint=fingerprint,
     )
     stats["rows_in"] = int(total_in)
     return stats
@@ -160,8 +162,13 @@ def merge_spilled(
     sort_keys: list[str],
     n_parts: int,
     done: dict | None = None,
+    fingerprint: str | None = None,
 ) -> dict:
-    """Phase 2: one merge task per partition (independent -> resumable)."""
+    """Phase 2: one merge task per partition (independent -> resumable).
+
+    ``fingerprint`` identifies the upstream inputs (docs + canonical mapping);
+    it is recorded in each partition manifest so a later resume can invalidate
+    partitions written from a different generation of the inputs."""
     import ray
 
     done = done or {}
@@ -191,7 +198,7 @@ def merge_spilled(
         mf.write_partition(
             out_dir, stage, pid_s, tbl,
             inputs=[f"range<{pid_s}>"],
-            metrics={"rows": tbl.num_rows},
+            metrics={"rows": tbl.num_rows, "fingerprint": fingerprint},
         )
         return tbl.num_rows
 

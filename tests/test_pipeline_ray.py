@@ -170,10 +170,14 @@ def test_text_and_mentions_match_gold_parquet(kg_out, pages_dir):
 def test_resume_byte_identical(kg_out, pages_dir):
     from anno_ray.pipelines.kg import run_kg_pipeline
 
+    from anno_ray.pipelines.kg import _shard_pid
+
     out, _ = kg_out
     h1 = _hash_dir(os.path.join(out, "nodes")) + _hash_dir(os.path.join(out, "edges"))
     # kill two docs partitions + all final outputs, then resume
-    for pid in ["00001", "00003"]:
+    shard_files = sorted(glob.glob(os.path.join(PAGES_DIR, "*.parquet")))
+    for path in [shard_files[1], shard_files[3]]:
+        pid = _shard_pid(path)
         shutil.rmtree(os.path.join(out, "docs", f"part={pid}"))
         os.remove(os.path.join(out, "docs", "_manifests", f"{pid}.json"))
     shutil.rmtree(os.path.join(out, "nodes"))
