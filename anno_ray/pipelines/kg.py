@@ -146,12 +146,33 @@ def _docs_fingerprint(out_dir: str) -> str:
     return h.hexdigest()
 
 
+# Above this many DISTINCT (type, surface) keys the canonicalize stage routes
+# through the fully distributed path: banded-groupby LSH edges + min-label
+# propagation/pointer doubling for the components, and the materialize
+# map-back becomes partitioned hash joins instead of a broadcast dict. At CC
+# scale distinct NER surfaces are 10^8-10^9 — far past any driver heap.
+DRIVER_SURFACE_MAX = 2_000_000
+# Above this many mapping entries the broadcast-dict map-back (~100 B/entry
+# of per-actor Python dict) is replaced by hash joins even if the mapping
+# arrived as a driver table.
+BROADCAST_MAP_MAX = 1_000_000
+
+
 def run_canonicalize_stage(
-    out_dir: str, *, mode: str = canon.MODE_CDCR, resume: bool = True
-) -> pa.Table:
-    """Stage B: mentions -> canonical mapping table (persisted + resumable:
-    when the docs stage is unchanged since the last run, the saved mapping is
-    reused instead of recomputing the shuffle)."""
+    out_dir: str,
+    *,
+    mode: str = canon.MODE_CDCR,
+    resume: bool = True,
+    max_driver_surfaces: int = DRIVER_SURFACE_MAX,
+):
+    """Stage B: mentions -> canonical mapping (persisted + resumable: when the
+    docs stage is unchanged since the last run, the saved mapping is reused
+    instead of recomputing the shuffle).
+
+    Returns a ``pa.Table`` below ``max_driver_surfaces`` distinct surfaces
+    (driver-side union-find over the compact LSH edge list — cheapest by far
+    at test/bench scale) and a ``ray.data.Dataset`` above it (distributed
+    connected components; the driver never holds the surface table)."""
     import pyarrow.parquet as pq
 
     from ..stages.extract import mentions_table
@@ -160,12 +181,18 @@ def run_canonicalize_stage(
     fp = _docs_fingerprint(out_dir)
     meta_path = os.path.join(mdir, "_manifest.json")
     map_path = os.path.join(mdir, "mapping.parquet")
-    if resume and os.path.exists(meta_path) and os.path.exists(map_path):
+    map_dir = os.path.join(mdir, "mapping")
+    if resume and os.path.exists(meta_path):
         try:
             with open(meta_path, encoding="utf-8") as f:
                 meta = json.load(f)
             if meta.get("docs_fingerprint") == fp and meta.get("mode") == mode:
-                return pq.read_table(map_path)
+                if meta.get("kind") == "distributed" and os.path.isdir(map_dir):
+                    import ray.data
+
+                    return ray.data.read_parquet(map_dir)
+                if os.path.exists(map_path):
+                    return pq.read_table(map_path)
         except (json.JSONDecodeError, OSError):
             pass
 
@@ -180,24 +207,50 @@ def run_canonicalize_stage(
 
     ner = mentions.map_batches(_ner_only, batch_format="pyarrow")
     surfaces_ds = canon.surface_groups(ner, type_col="label", surface_col="norm_surface")
-    # collect the (small) distinct-surface table ONCE; both the edge pass and
-    # the merge consume it, avoiding a second execution of the explode+groupby
+    # materialize the distinct-surface Dataset ONCE; the edge pass and the
+    # merge both consume it, avoiding a second execution of explode+groupby
     surfaces_ds = surfaces_ds.materialize()
-    surfaces = canon.collect_surfaces(surfaces_ds)
+    n_surfaces = surfaces_ds.count()
     try:  # persist ds.stats() for the wide stage (observability)
         os.makedirs(mdir, exist_ok=True)
         with open(os.path.join(mdir, "_ray_stats.txt"), "w", encoding="utf-8") as f:
             f.write(surfaces_ds.stats())
     except Exception:
         pass
-    edges = canon.fuzzy_edges(surfaces, mode=mode)
-    mapping = canon.build_canonical_map(surfaces, edges)
 
     os.makedirs(mdir, exist_ok=True)
-    pq.write_table(mapping, map_path)
+    if n_surfaces <= max_driver_surfaces:
+        surfaces = canon.collect_surfaces(surfaces_ds)
+        edges = canon.fuzzy_edges(surfaces, mode=mode)
+        mapping = canon.build_canonical_map(surfaces, edges)
+        pq.write_table(mapping, map_path)
+        with open(meta_path, "w", encoding="utf-8") as f:
+            json.dump(
+                {"docs_fingerprint": fp, "mode": mode, "kind": "driver",
+                 "rows": mapping.num_rows},
+                f,
+            )
+        return mapping
+
+    # scale path: the surface table never touches the driver
+    import ray.data
+    import shutil as _shutil
+
+    edges_ds = canon.fuzzy_edges(
+        surfaces_ds, mode=mode, max_task_surfaces=max_driver_surfaces
+    )
+    mapping_ds = canon.build_canonical_map_distributed(
+        surfaces_ds, edges_ds, as_dataset=True
+    )
+    _shutil.rmtree(map_dir, ignore_errors=True)
+    mapping_ds.write_parquet(map_dir)
     with open(meta_path, "w", encoding="utf-8") as f:
-        json.dump({"docs_fingerprint": fp, "mode": mode, "rows": mapping.num_rows}, f)
-    return mapping
+        json.dump(
+            {"docs_fingerprint": fp, "mode": mode, "kind": "distributed",
+             "rows": n_surfaces},
+            f,
+        )
+    return ray.data.read_parquet(map_dir)
 
 
 _NER_LABELS = ("PER", "ORG", "LOC")
@@ -351,25 +404,60 @@ class FusedMaterialize:
         return node_partial
 
 
-def _materialize_fingerprint(out_dir: str, mapping: pa.Table) -> str:
+def _mapping_row_hashes(b: pa.Table) -> pa.Table:
+    """Order-independent per-block signature: sum of per-row hashes."""
+    import hashlib
+
+    acc = 0
+    for t, s, cid in zip(
+        b.column("entity_type").to_pylist(),
+        b.column("norm_surface").to_pylist(),
+        b.column("canonical_id").to_pylist(),
+    ):
+        d = hashlib.blake2b(f"{t}\x00{s}\x00{cid}".encode("utf-8"), digest_size=8).digest()
+        acc = (acc + int.from_bytes(d, "big")) & ((1 << 64) - 1)
+    return pa.table({"sig": pa.array([acc], pa.uint64())})
+
+
+def _materialize_fingerprint(out_dir: str, mapping) -> str:
     """Identifies the (docs, canonical mapping) generation an edges/nodes
     partition was derived from. A resumed run invalidates completed
     partitions whose recorded fingerprint differs — preventing a
-    mixed-generation graph when docs or the mapping changed."""
+    mixed-generation graph when docs or the mapping changed. Row-order
+    independent (sum of per-row hashes), so the driver-table and distributed
+    mapping paths fingerprint identically for the same mapping."""
     import hashlib
 
+    if isinstance(mapping, pa.Table):
+        sig = _mapping_row_hashes(mapping).column("sig")[0].as_py()
+    else:
+        sig = sum(
+            r["sig"]
+            for r in mapping.map_batches(
+                _mapping_row_hashes, batch_format="pyarrow"
+            ).take_all()
+        ) & ((1 << 64) - 1)
     h = hashlib.blake2b(digest_size=16)
     h.update(_docs_fingerprint(out_dir).encode())
-    for col in ("entity_type", "norm_surface", "canonical_id"):
-        for chunk in mapping.column(col).chunks:
-            for v in chunk:
-                h.update(str(v.as_py()).encode("utf-8", "replace"))
-                h.update(b"\x00")
+    h.update(str(sig).encode())
     return h.hexdigest()
 
 
-def run_materialize_stage(out_dir: str, mapping: pa.Table) -> dict:
-    """Stage C: sorted canonical node/edge parquet + manifests (fused pass)."""
+def run_materialize_stage(out_dir: str, mapping) -> dict:
+    """Stage C: sorted canonical node/edge parquet + manifests.
+
+    Dispatch: a driver-sized mapping table uses the fused single-pass
+    broadcast map-back; a Dataset mapping (or an oversized table) uses the
+    partitioned hash-join map-back, which never builds a per-actor Python
+    dict of the whole mapping."""
+    if isinstance(mapping, pa.Table) and mapping.num_rows <= BROADCAST_MAP_MAX:
+        return _run_materialize_broadcast(out_dir, mapping)
+    return _run_materialize_joined(out_dir, canon._as_dataset(mapping))
+
+
+def _run_materialize_broadcast(out_dir: str, mapping: pa.Table) -> dict:
+    """Fused single-pass materialize with broadcast-dict map-back (the
+    fastest path while the mapping fits comfortably in one actor's heap)."""
     import shutil
 
     from ..state import manifests as mfst
@@ -430,20 +518,347 @@ def run_materialize_stage(out_dir: str, mapping: pa.Table) -> dict:
     return {"nodes": nodes_stats, "edges": edges_stats}
 
 
+# --- join-based map-back (scale path) ----------------------------------------
+
+def _boundary_sample(mapping_ds, n_map: int, target: int = 100_000) -> list[str]:
+    """Deterministic bounded sample of canonical node keys for range cuts.
+
+    canonical_id is a uniform 63-bit hash, so ``cid % rate == 0`` is a
+    deterministic, data-dependent ~1/rate sample; the driver holds only the
+    sample, never the mapping."""
+    import ray
+
+    rate = max(1, n_map // target)
+
+    def _s(b: pa.Table) -> pa.Table:
+        cids = b.column("canonical_id").to_pylist()
+        keep = sorted({f"coref_{c}" for c in cids if c % rate == 0})
+        return pa.table({"key": pa.array(keep, pa.string())})
+
+    keys: set[str] = set()
+    for ref in mapping_ds.map_batches(_s, batch_format="pyarrow").to_arrow_refs():
+        keys.update(ray.get(ref).column("key").to_pylist())
+    return sorted(keys)
+
+
+def _lookup_dataset(mapping_ds):
+    """mapping Dataset -> endpoint-lookup Dataset (jk, cid, cname).
+
+    Two key families, matching the broadcast path's two dicts:
+      'T\\x00<type>\\x00<surface>' — exact (type, surface) lookup
+        (CanonicalMapper / EdgeRows.lookup analog);
+      'U\\x00<surface>'            — untyped endpoint resolution for event
+        triples, min PER>ORG>LOC priority per surface
+        (EdgeRows.kb_free_lookup analog; priorities are unique per surface,
+        so groupby-min reproduces the dict exactly).
+    """
+    from ray.data.aggregate import Min
+
+    prio = {"PER": 0, "ORG": 1, "LOC": 2}
+
+    def _typed(b: pa.Table) -> pa.Table:
+        ts = b.column("entity_type").to_pylist()
+        ss = b.column("norm_surface").to_pylist()
+        return pa.table(
+            {
+                "jk": pa.array(
+                    [f"T\x00{t}\x00{s}" for t, s in zip(ts, ss)], pa.string()
+                ),
+                "cid": pc.cast(b.column("canonical_id"), pa.int64()),
+                "cname": b.column("canonical_name"),
+            }
+        )
+
+    def _untyped_pre(b: pa.Table) -> pa.Table:
+        ts = b.column("entity_type").to_pylist()
+        ss = b.column("norm_surface").to_pylist()
+        cids = b.column("canonical_id").to_pylist()
+        cnames = b.column("canonical_name").to_pylist()
+        return pa.table(
+            {
+                "jk": pa.array([f"U\x00{s}" for s in ss], pa.string()),
+                "val": pa.array(
+                    [
+                        f"{prio.get(t, 9)}\x00{cid:020d}\x00{cn}"
+                        for t, cid, cn in zip(ts, cids, cnames)
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+
+    def _untyped_post(b: pa.Table) -> pa.Table:
+        col = "min(val)" if "min(val)" in b.column_names else "val"
+        vals = [v.split("\x00", 2) for v in b.column(col).to_pylist()]
+        return pa.table(
+            {
+                "jk": b.column("jk"),
+                "cid": pa.array([int(v[1]) for v in vals], pa.int64()),
+                "cname": pa.array([v[2] for v in vals], pa.string()),
+            }
+        )
+
+    typed = mapping_ds.map_batches(_typed, batch_format="pyarrow")
+    untyped = (
+        mapping_ds.map_batches(_untyped_pre, batch_format="pyarrow")
+        .groupby("jk")
+        .aggregate(Min("val"))
+        .map_batches(_untyped_post, batch_format="pyarrow")
+    )
+    return typed.union(untyped).materialize()
+
+
+_CANON_LABEL = {"per": "PER", "org": "ORG", "loc": "LOC"}
+
+
+def _node_partials(batch: pa.Table) -> pa.Table:
+    """docs batch -> per-block pre-aggregated mention partials keyed for the
+    mapping join: (jk, label, norm_surface, kb_id, n, first_seen). The
+    per-block combiner is what keeps hot surfaces from flooding the join."""
+    from ..stages.extract import _explode
+
+    m = _explode(batch.select(["url", "mentions"]), "mentions", ["url"])
+    labels = m.column("label").to_pylist()
+    norms = m.column("norm_surface").to_pylist()
+    kbs = m.column("kb_id").to_pylist()
+    starts = m.column("start").to_pylist()
+    agg: dict[tuple, list] = {}
+    for lab, s, kb, start in zip(labels, norms, kbs, starts):
+        if lab == "PRON":
+            continue
+        key = (lab, s, kb)
+        cur = agg.get(key)
+        if cur is None:
+            agg[key] = [1, start]
+        else:
+            cur[0] += 1
+            if start < cur[1]:
+                cur[1] = start
+    keys = sorted(agg)
+    return pa.table(
+        {
+            "jk": pa.array(
+                [f"T\x00{canon.type_group(k[0])}\x00{k[1]}" for k in keys],
+                pa.string(),
+            ),
+            "label": pa.array([k[0] for k in keys], pa.string()),
+            "norm_surface": pa.array([k[1] for k in keys], pa.string()),
+            "kb_id": pa.array([k[2] for k in keys], pa.string()),
+            "n": pa.array([agg[k][0] for k in keys], pa.int64()),
+            "first_seen": pa.array([agg[k][1] for k in keys], pa.int64()),
+        }
+    )
+
+
+def _node_rows_post(batch: pa.Table) -> pa.Table:
+    """joined partials -> node rows (hash fallback for unmapped surfaces)."""
+    labels = batch.column("label").to_pylist()
+    norms = batch.column("norm_surface").to_pylist()
+    kbs = batch.column("kb_id").to_pylist()
+    cids = batch.column("m_cid").to_pylist()
+    cnames = batch.column("m_cname").to_pylist()
+    for i, cid in enumerate(cids):
+        if cid is None:
+            cids[i] = canon.canonical_hash(canon.type_group(labels[i]), norms[i])
+            cnames[i] = norms[i]
+    node_ids = _node_id_col(labels, norms, kbs, cids)
+    return pa.table(
+        {
+            "node_id": pa.array(node_ids, pa.string()),
+            "node_type": pa.array(labels, pa.string()),
+            "name": pa.array(cnames, pa.string()),
+            "mentions_count": batch.column("n"),
+            "first_seen": batch.column("first_seen"),
+        }
+    )
+
+
+def _edge_rows_jk(batch: pa.Table) -> pa.Table:
+    """docs batch -> exploded triples with join keys for both endpoints."""
+    from ..stages.extract import _explode
+
+    t = _explode(batch.select(["url", "triples"]), "triples", ["url"])
+
+    def _jk_cols(texts, labels):
+        jks, labs, norms = [], [], []
+        for text, l in zip(texts, labels):
+            lab = _CANON_LABEL.get(l.lower(), l)
+            s = normalize_entity_name(text)
+            labs.append(lab)
+            norms.append(s)
+            jks.append(
+                f"T\x00{lab}\x00{s}" if lab in _NER_LABELS else f"U\x00{s}"
+            )
+        return jks, labs, norms
+
+    sjk, slab, snorm = _jk_cols(
+        t.column("subj").to_pylist(), t.column("subj_label").to_pylist()
+    )
+    ojk, olab, onorm = _jk_cols(
+        t.column("obj").to_pylist(), t.column("obj_label").to_pylist()
+    )
+    return pa.table(
+        {
+            "subj": t.column("subj"),
+            "pred": t.column("pred"),
+            "obj": t.column("obj"),
+            "conf": t.column("conf"),
+            "source": t.column("source"),
+            "url": t.column("url"),
+            "subj_jk": pa.array(sjk, pa.string()),
+            "subj_lab": pa.array(slab, pa.string()),
+            "subj_norm": pa.array(snorm, pa.string()),
+            "obj_jk": pa.array(ojk, pa.string()),
+            "obj_lab": pa.array(olab, pa.string()),
+            "obj_norm": pa.array(onorm, pa.string()),
+        }
+    )
+
+
+def _endpoint_ids(jks, labs, norms, cids) -> list[str]:
+    out = []
+    for jk, lab, s, cid in zip(jks, labs, norms, cids):
+        if cid is not None:
+            out.append(f"coref_{cid}")
+        elif jk.startswith("T\x00"):
+            out.append(f"coref_{canon.canonical_hash(lab, s)}")
+        elif lab:
+            out.append(f"{lab.lower()}:{s.replace(' ', '_')}")
+        else:
+            out.append(f"text:{s.replace(' ', '_')}")
+    return out
+
+
+def _edge_rows_post(batch: pa.Table) -> pa.Table:
+    subj_node = _endpoint_ids(
+        batch.column("subj_jk").to_pylist(),
+        batch.column("subj_lab").to_pylist(),
+        batch.column("subj_norm").to_pylist(),
+        batch.column("s_cid").to_pylist(),
+    )
+    obj_node = _endpoint_ids(
+        batch.column("obj_jk").to_pylist(),
+        batch.column("obj_lab").to_pylist(),
+        batch.column("obj_norm").to_pylist(),
+        batch.column("o_cid").to_pylist(),
+    )
+    return pa.table(
+        {
+            "subj": batch.column("subj"),
+            "pred": batch.column("pred"),
+            "obj": batch.column("obj"),
+            "subj_node": pa.array(subj_node, pa.string()),
+            "obj_node": pa.array(obj_node, pa.string()),
+            "conf": batch.column("conf"),
+            "source": batch.column("source"),
+            "url": batch.column("url"),
+        }
+    )
+
+
+def _run_materialize_joined(out_dir: str, mapping_ds) -> dict:
+    """Partitioned hash-join map-back: no per-actor dict of the mapping, no
+    driver materialization of mapping or boundary set. Two passes over the
+    (column-pruned) docs parquet — one for nodes, one for edges — each joined
+    against the mapping-derived lookup Dataset."""
+    from ray.data.aggregate import Min, Sum
+
+    from ..state.writer import write_sorted
+
+    register_for_ray()
+    mapping_ds = mapping_ds.materialize()
+    n_map = mapping_ds.count()
+    njoin = min(64, max(2, n_map // 100_000 + 2))
+    n_parts = min(256, max(8, n_map // 50_000 + 1))
+    boundary = _boundary_sample(mapping_ds, n_map)
+    lookup = _lookup_dataset(mapping_ds)
+    fp = _materialize_fingerprint(out_dir, mapping_ds)
+
+    # --- nodes ---
+    docs = docs_dataset(out_dir, columns=["url", "mentions"])
+    partials = docs.map_batches(_node_partials, batch_format="pyarrow")
+    lookup_n = lookup.map_batches(
+        lambda b: pa.table(
+            {"njk": b.column("jk"), "m_cid": b.column("cid"), "m_cname": b.column("cname")}
+        ),
+        batch_format="pyarrow",
+    )
+    joined = partials.join(
+        lookup_n, join_type="left_outer", num_partitions=njoin,
+        on=("jk",), right_on=("njk",),
+    )
+    node_rows = joined.map_batches(_node_rows_post, batch_format="pyarrow")
+    nodes = node_rows.groupby("node_id").aggregate(
+        Min("node_type"), Min("name"), Sum("mentions_count"), Min("first_seen")
+    )
+
+    def _rename(b: pa.Table) -> pa.Table:
+        names = {
+            "min(node_type)": "node_type", "min(name)": "name",
+            "sum(mentions_count)": "mentions_count", "min(first_seen)": "first_seen",
+        }
+        return b.rename_columns([names.get(c, c) for c in b.column_names])
+
+    nodes = nodes.map_batches(_rename, batch_format="pyarrow")
+    nodes_stats = write_sorted(
+        nodes, out_dir, "nodes",
+        sort_keys=["node_id"], boundary_keys=boundary, num_partitions=n_parts,
+        resume=False, fingerprint=fp,
+    )
+
+    # --- edges ---
+    docs2 = docs_dataset(out_dir, columns=["url", "triples"])
+    trip = docs2.map_batches(_edge_rows_jk, batch_format="pyarrow")
+    lookup_s = lookup.map_batches(
+        lambda b: pa.table({"sjk": b.column("jk"), "s_cid": b.column("cid")}),
+        batch_format="pyarrow",
+    )
+    lookup_o = lookup.map_batches(
+        lambda b: pa.table({"ojk": b.column("jk"), "o_cid": b.column("cid")}),
+        batch_format="pyarrow",
+    )
+    j1 = trip.join(
+        lookup_s, join_type="left_outer", num_partitions=njoin,
+        on=("subj_jk",), right_on=("sjk",),
+    )
+    j2 = j1.join(
+        lookup_o, join_type="left_outer", num_partitions=njoin,
+        on=("obj_jk",), right_on=("ojk",),
+    )
+    edges = j2.map_batches(_edge_rows_post, batch_format="pyarrow")
+    edges_stats = write_sorted(
+        edges, out_dir, "edges",
+        sort_keys=["subj_node", "pred", "obj_node"],
+        boundary_keys=boundary, num_partitions=n_parts,
+        resume=True, fingerprint=fp,
+    )
+
+    for stage in ("nodes", "edges"):
+        os.makedirs(os.path.join(out_dir, stage), exist_ok=True)
+        with open(os.path.join(out_dir, stage, "_SUCCESS"), "w", encoding="utf-8") as f:
+            json.dump({"stage": stage}, f)
+    return {"nodes": nodes_stats, "edges": edges_stats}
+
+
 def run_kg_pipeline(
     pages_dir: str,
     out_dir: str,
     *,
     resume: bool = True,
     mode: str = canon.MODE_CDCR,
+    max_driver_surfaces: int = DRIVER_SURFACE_MAX,
 ) -> dict:
     t0 = time.time()
     s_extract = run_extract_stage(pages_dir, out_dir, resume=resume)
-    mapping = run_canonicalize_stage(out_dir, mode=mode, resume=resume)
+    mapping = run_canonicalize_stage(
+        out_dir, mode=mode, resume=resume, max_driver_surfaces=max_driver_surfaces
+    )
     s_mat = run_materialize_stage(out_dir, mapping)
     stats = {
         "extract": s_extract,
-        "canonical_surfaces": mapping.num_rows,
+        "canonical_surfaces": (
+            mapping.num_rows if isinstance(mapping, pa.Table) else mapping.count()
+        ),
         "materialize": s_mat,
         "seconds": time.time() - t0,
     }
@@ -463,6 +878,11 @@ def main() -> None:
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--mode", default=canon.MODE_CDCR, choices=[canon.MODE_CDCR, canon.MODE_COALESCE])
     ap.add_argument("--num-cpus", type=int, default=None)
+    ap.add_argument(
+        "--max-driver-surfaces", type=int, default=DRIVER_SURFACE_MAX,
+        help="distinct-surface count above which the fully distributed "
+        "canonicalize + join map-back path is used (set 0 to force it)",
+    )
     args = ap.parse_args()
 
     if not ray.is_initialized():
@@ -472,7 +892,8 @@ def main() -> None:
             include_dashboard=False,
         )
     stats = run_kg_pipeline(
-        args.pages, args.out, resume=not args.no_resume, mode=args.mode
+        args.pages, args.out, resume=not args.no_resume, mode=args.mode,
+        max_driver_surfaces=args.max_driver_surfaces,
     )
     print(json.dumps(stats))
     ray.shutdown()

@@ -281,8 +281,15 @@ def fuzzy_edges(
     if threshold is None:
         threshold = 0.5 if mode == MODE_CDCR else 0.7
 
-    surf_tbl = _to_table(surfaces_ds, ["entity_type", "norm_surface"])
-    if surf_tbl.num_rows <= max_task_surfaces:
+    # decide the path WITHOUT collecting the table when the input is a large
+    # Dataset: count() is a metadata/aggregate op, not a driver materialize
+    if isinstance(surfaces_ds, pa.Table):
+        n_surfaces = surfaces_ds.num_rows
+    else:
+        n_surfaces = surfaces_ds.count()
+
+    if n_surfaces <= max_task_surfaces:
+        surf_tbl = _to_table(surfaces_ds, ["entity_type", "norm_surface"])
 
         @ray.remote
         def _task(tbl):
@@ -292,6 +299,7 @@ def fuzzy_edges(
             )
 
         return ray.get(_task.remote(surf_tbl))
+    surfaces_ds = _as_dataset(surfaces_ds)
 
     banded = surfaces_ds.map_batches(
         lambda b: _band_rows(b, num_bands, rows_per_band), batch_format="pyarrow"
@@ -446,13 +454,22 @@ def attach_canonical(
 
 # --- 3b. distributed merge (scale path) --------------------------------------
 
+def _as_dataset(ds_or_table):
+    import ray.data
+
+    if isinstance(ds_or_table, pa.Table):
+        return ray.data.from_arrow(ds_or_table)
+    return ds_or_table
+
+
 def build_canonical_map_distributed(
     surfaces,
     edges,
     *,
     max_iters: int = 24,
     num_partitions: int | None = None,
-) -> pa.Table:
+    as_dataset: bool = False,
+):
     """Connected components via iterated min-label propagation + pointer
     doubling on Ray Data — the web-scale replacement for the driver-side
     union-find when the distinct-surface table no longer fits one process.
@@ -462,31 +479,56 @@ def build_canonical_map_distributed(
     rounds; each round is two hash joins + groupby-min over (k, label) pairs.
     Produces EXACTLY the same mapping as ``build_canonical_map``
     (representative = lexicographic-min member; verified in tests).
+
+    Fully dataset-native: ``surfaces``/``edges`` may be Datasets and are never
+    collected to the driver; with ``as_dataset=True`` the mapping comes back
+    as a Dataset too, so driver RSS stays bounded regardless of the distinct
+    surface count (the default pa.Table return is for sub-threshold callers
+    and tests).
     """
-    import ray
-    import ray.data
-
     register_for_ray()
-    surf_tbl = _to_table(surfaces, ["entity_type", "norm_surface"])
-    edge_tbl = _to_table(edges, ["type_a", "surface_a", "type_b", "surface_b"])
+    surfaces_ds = _as_dataset(surfaces)
+    edges_ds = _as_dataset(edges)
     if num_partitions is None:
-        num_partitions = min(16, max(2, surf_tbl.num_rows // 100_000 + 2))
+        n_surf = surfaces_ds.count()
+        num_partitions = min(64, max(2, n_surf // 100_000 + 2))
 
-    def key_col(types, names):
-        return [f"{t}\x00{s}" for t, s in zip(types, names)]
+    def _label_rows(b: pa.Table) -> pa.Table:
+        ks = [
+            f"{t}\x00{s}"
+            for t, s in zip(
+                b.column("entity_type").to_pylist(),
+                b.column("norm_surface").to_pylist(),
+            )
+        ]
+        arr = pa.array(ks, pa.string())
+        return pa.table({"k": arr, "label": arr})
 
-    keys = key_col(
-        surf_tbl.column("entity_type").to_pylist(),
-        surf_tbl.column("norm_surface").to_pylist(),
-    )
-    labels = ray.data.from_arrow(
-        pa.table({"k": pa.array(keys, pa.string()), "label": pa.array(keys, pa.string())})
+    labels = surfaces_ds.map_batches(
+        _label_rows, batch_format="pyarrow"
     ).materialize()
-    ka = key_col(edge_tbl.column("type_a").to_pylist(), edge_tbl.column("surface_a").to_pylist())
-    kb = key_col(edge_tbl.column("type_b").to_pylist(), edge_tbl.column("surface_b").to_pylist())
-    sym = ray.data.from_arrow(
-        pa.table({"src": pa.array(ka + kb, pa.string()), "dst": pa.array(kb + ka, pa.string())})
-    ).materialize()
+
+    def _sym_rows(b: pa.Table) -> pa.Table:
+        ka = [
+            f"{t}\x00{s}"
+            for t, s in zip(
+                b.column("type_a").to_pylist(), b.column("surface_a").to_pylist()
+            )
+        ]
+        kb = [
+            f"{t}\x00{s}"
+            for t, s in zip(
+                b.column("type_b").to_pylist(), b.column("surface_b").to_pylist()
+            )
+        ]
+        return pa.table(
+            {
+                "src": pa.array(ka + kb, pa.string()),
+                "dst": pa.array(kb + ka, pa.string()),
+            }
+        )
+
+    sym = edges_ds.map_batches(_sym_rows, batch_format="pyarrow").materialize()
 
     from ray.data.aggregate import Min
 
@@ -554,22 +596,27 @@ def build_canonical_map_distributed(
             break
         old_sig = new_sig
 
-    final = _to_table(labels, ["k", "label"])
-    lab_of = dict(zip(final.column("k").to_pylist(), final.column("label").to_pylist()))
-    types_out, surfaces_out, cids, cnames = [], [], [], []
-    for k in keys:
-        t, sfc = k.split("\x00", 1)
-        rep = lab_of.get(k, k)
-        rt, rs = rep.split("\x00", 1)
-        types_out.append(t)
-        surfaces_out.append(sfc)
-        cids.append(canonical_hash(rt, rs))
-        cnames.append(rs)
-    return pa.table(
-        {
-            "entity_type": pa.array(types_out, pa.string()),
-            "norm_surface": pa.array(surfaces_out, pa.string()),
-            "canonical_id": pa.array(cids, pa.int64()),
-            "canonical_name": pa.array(cnames, pa.string()),
-        }
+    def _mapping_rows(b: pa.Table) -> pa.Table:
+        types_out, surfaces_out, cids, cnames = [], [], [], []
+        for k, lab in zip(b.column("k").to_pylist(), b.column("label").to_pylist()):
+            t, sfc = k.split("\x00", 1)
+            rt, rs = (lab or k).split("\x00", 1)
+            types_out.append(t)
+            surfaces_out.append(sfc)
+            cids.append(canonical_hash(rt, rs))
+            cnames.append(rs)
+        return pa.table(
+            {
+                "entity_type": pa.array(types_out, pa.string()),
+                "norm_surface": pa.array(surfaces_out, pa.string()),
+                "canonical_id": pa.array(cids, pa.int64()),
+                "canonical_name": pa.array(cnames, pa.string()),
+            }
+        )
+
+    mapping = labels.map_batches(_mapping_rows, batch_format="pyarrow")
+    if as_dataset:
+        return mapping
+    return _to_table(
+        mapping, ["entity_type", "norm_surface", "canonical_id", "canonical_name"]
     )

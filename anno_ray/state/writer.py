@@ -130,6 +130,14 @@ def write_sorted(
     n_parts = len(cuts) + 1
 
     done = mf.completed_partitions(out_dir, stage) if resume else {}
+    if resume and fingerprint is not None:
+        # a completed partition only counts if it was derived from the SAME
+        # upstream generation (docs + mapping); stale ones are rewritten
+        done = {
+            pid: m
+            for pid, m in done.items()
+            if m.get("metrics", {}).get("fingerprint") == fingerprint
+        }
     spill_dir = os.path.join(out_dir, stage, "_spill")
     shutil.rmtree(spill_dir, ignore_errors=True)
 
