@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_by_lang": dq.quality_by_lang,
         "doc_fingerprints": dq.doc_fingerprints,
         "multimodal_decode": dq.multimodal_decode,
+        "eval_ner_modes": dq.eval_ner_modes,
         # --- KG pipeline (non-SQL -> rows-only) ---
         "kg_mentions": dq.kg_mentions,
         "kg_triples": dq.kg_triples,

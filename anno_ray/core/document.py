@@ -39,9 +39,13 @@ def process_document(
     is_html: bool = True,
     alias_table: dict[str, tuple[str, str]] | None = None,
     with_coref: bool = True,
+    coref_strategy: str = "cli",
     with_linking: bool = True,
     with_triples: bool = True,
 ) -> DocResult:
+    """``coref_strategy``: "cli" = C1 (anno-cli rule-based, the reference
+    pipeline default); "simple" = C2 (SimpleCorefResolver, the library's
+    in-order exact/substring/last-name + neopronoun resolver) — opt-in."""
     text = resolve_content(raw) if is_html else raw
 
     ner = stacked.extract(text)
@@ -55,7 +59,12 @@ def process_document(
     tracks: list[coref.Track] = []
     pronouns: list[Mention] = []
     if with_coref:
-        tracks, pronouns, assignment = coref.build_tracks(text, ner)
+        if coref_strategy == "simple":
+            from .coref_resolver import build_tracks_simple
+
+            tracks, pronouns, assignment = build_tracks_simple(text, ner)
+        else:
+            tracks, pronouns, assignment = coref.build_tracks(text, ner)
         all_mentions = ner + pronouns
         for idx, tid in assignment.items():
             all_mentions[idx].track_id = tid

@@ -7,6 +7,7 @@ column-pruned reads, vectorized kernels, partial aggregation before shuffles.
 
 from __future__ import annotations
 
+import glob
 import os
 import re
 
@@ -336,25 +337,167 @@ def kg_clusters(sf_dir: str):
     return rank_clusters(cluster_importance(with_canon), max_clusters=25)
 
 
-def kg_communities(sf_dir: str):
-    """Leiden communities over the canonical edge graph (strata C7)."""
+def eval_ner_modes(sf_dir: str):
+    """SemEval Strict/Exact/Partial/Type eval of the zero-shot NER stage
+    against the stacked-NER mentions, distributed per document (J4 analog).
+
+    Pattern: tag + union the two mention sets, co-locate per url with one
+    groupby shuffle, run the greedy per-doc matcher in map_groups, micro-sum
+    (tp, fp, fn) per mode, then the tiny P/R/F1 table on the driver."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.extract import extract_docs, mentions_table
+    from ..stages.model_ner import zero_shot_ner
+    from .eval import MODES, _prf, mode_counts
+
+    docs = extract_docs(_synthetic_pages(sf_dir), with_text=True).materialize()
+
+    def _tag_gold(b: pa.Table) -> pa.Table:
+        mask = pc.is_in(b.column("label"), value_set=pa.array(["PER", "ORG", "LOC"]))
+        b = b.filter(mask)
+        return pa.table(
+            {
+                "url": b.column("url"),
+                "start": b.column("start"),
+                "end": b.column("end"),
+                "label": b.column("label"),
+                "src": pa.array(["g"] * b.num_rows, pa.string()),
+            }
+        )
+
+    gold = mentions_table(docs).map_batches(_tag_gold, batch_format="pyarrow")
+    pred = zero_shot_ner(
+        docs.map_batches(
+            lambda b: b.select(["url", "text"]), batch_format="pyarrow"
+        ),
+        labels=["PER", "ORG", "LOC"],
+        fake=True,
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "url": b.column("url"),
+                "start": b.column("start"),
+                "end": b.column("end"),
+                "label": b.column("label"),
+                "src": pa.array(["p"] * b.num_rows, pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def _doc_counts(group: pa.Table) -> pa.Table:
+        rows = group.to_pylist()
+        g = [r for r in rows if r["src"] == "g"]
+        p = [r for r in rows if r["src"] == "p"]
+        # deterministic in-doc order (position-sorted, like the extractors)
+        g.sort(key=lambda r: (r["start"], r["end"], r["label"]))
+        p.sort(key=lambda r: (r["start"], r["end"], r["label"]))
+        out = {"mode": [], "tp": [], "fp": [], "fn": []}
+        for mode in MODES:
+            tp, fp, fn = mode_counts(p, g, mode)
+            out["mode"].append(mode)
+            out["tp"].append(tp)
+            out["fp"].append(fp)
+            out["fn"].append(fn)
+        return pa.table(
+            {
+                "mode": pa.array(out["mode"], pa.string()),
+                "tp": pa.array(out["tp"], pa.int64()),
+                "fp": pa.array(out["fp"], pa.int64()),
+                "fn": pa.array(out["fn"], pa.int64()),
+            }
+        )
+
+    counts = (
+        gold.union(pred)
+        .groupby("url")
+        .map_groups(_doc_counts, batch_format="pyarrow")
+        .groupby("mode")
+        .aggregate(Sum("tp"), Sum("fp"), Sum("fn"))
+    )
+    import ray
+
+    tbl = pa.concat_tables(
+        [ray.get(r) for r in counts.to_arrow_refs()], promote_options="permissive"
+    )
+    rows = sorted(
+        zip(
+            tbl.column("mode").to_pylist(),
+            tbl.column("sum(tp)").to_pylist(),
+            tbl.column("sum(fp)").to_pylist(),
+            tbl.column("sum(fn)").to_pylist(),
+        )
+    )
+    out = {"mode": [], "precision": [], "recall": [], "f1": [],
+           "tp": [], "fp": [], "fn": []}
+    for mode, tp, fp, fn in rows:
+        p, r, f = _prf(tp, fp, fn)
+        out["mode"].append(mode)
+        out["precision"].append(round(p, 6))
+        out["recall"].append(round(r, 6))
+        out["f1"].append(round(f, 6))
+        out["tp"].append(tp)
+        out["fp"].append(fp)
+        out["fn"].append(fn)
     import pandas as pd
 
-    from ..core import leiden
+    return pd.DataFrame(out)
 
-    nodes_tbl = kg_nodes(sf_dir)
-    edges_tbl = kg_edges(sf_dir)
-    pairs = {}
-    for u, v in zip(
-        edges_tbl.column("subj_node").to_pylist(),
-        edges_tbl.column("obj_node").to_pylist(),
-    ):
-        if u != v:
-            key = (u, v) if u < v else (v, u)
-            pairs[key] = pairs.get(key, 0.0) + 1.0
-    edge_list = [(u, v, w) for (u, v), w in pairs.items()]
-    comm = leiden.cluster(edge_list, resolution=1.0, seed=42)
-    rows = sorted(comm.items())
+
+def kg_communities(sf_dir: str):
+    """Communities over the canonical edge graph (strata C7).
+
+    Below LEIDEN_DRIVER_MAX edges: driver Leiden (reference-quality
+    modularity local moving). Above: distributed weighted label propagation —
+    the edge list is aggregated, joined, and scored entirely as Ray Data
+    operations; the driver only ever holds the final (node, community)
+    result."""
+    import pandas as pd
+    import ray.data
+
+    from ..pipelines.kg import run_kg_pipeline
+    from ..stages.communities import (
+        LEIDEN_DRIVER_MAX,
+        communities_table,
+        label_propagation,
+    )
+
+    pages = _pages_dir_for(sf_dir)
+    out = pages + "_kg"
+    run_kg_pipeline(pages, out)
+    edge_files = sorted(
+        glob.glob(os.path.join(out, "edges", "part=*", "data.parquet"))
+    )
+    edges_ds = ray.data.read_parquet(edge_files, columns=["subj_node", "obj_node"])
+    n_edges = edges_ds.count()
+    if n_edges <= LEIDEN_DRIVER_MAX:
+        import duckdb
+
+        from ..core import leiden
+
+        con = duckdb.connect()
+        edges_tbl = con.execute(
+            f"SELECT subj_node, obj_node FROM read_parquet('{out}/edges/part=*/data.parquet')"
+        ).fetch_arrow_table()
+        pairs = {}
+        for u, v in zip(
+            edges_tbl.column("subj_node").to_pylist(),
+            edges_tbl.column("obj_node").to_pylist(),
+        ):
+            if u != v:
+                key = (u, v) if u < v else (v, u)
+                pairs[key] = pairs.get(key, 0.0) + 1.0
+        edge_list = [(u, v, w) for (u, v), w in pairs.items()]
+        comm = leiden.cluster(edge_list, resolution=1.0, seed=42)
+        rows = sorted(comm.items())
+        return pd.DataFrame(
+            {"node_id": [r[0] for r in rows], "community": [r[1] for r in rows]}
+        )
+    labels = label_propagation(edges_ds, src_col="subj_node", dst_col="obj_node")
+    tbl = communities_table(labels)
     return pd.DataFrame(
-        {"node_id": [r[0] for r in rows], "community": [r[1] for r in rows]}
+        {
+            "node_id": tbl.column("node_id").to_pylist(),
+            "community": tbl.column("community").to_pylist(),
+        }
     )

@@ -68,28 +68,51 @@ def exact_dedup_ids(ds, *, text_col: str = "text", id_col: str = "doc_id"):
 
 # --- minhash LSH near-dup ----------------------------------------------------
 
-def _sig_rows(
+def _sig_table(
     batch: pa.Table, text_col: str, id_col: str, num_bands: int, rows_per_band: int
 ) -> pa.Table:
+    """One row per doc: (id, sig bytes) — the signature leaves the worker
+    ONCE, not once per band."""
     texts = [t or "" for t in batch.column(text_col).to_pylist()]
-    ids = batch.column(id_col).to_pylist()
     sigs = batch_signatures(texts, num_bands, rows_per_band)
+    return pa.table(
+        {
+            id_col: batch.column(id_col),
+            "sig": pa.array(
+                [sigs[i].tobytes() for i in range(len(texts))], pa.binary()
+            ),
+        }
+    )
+
+
+def _band_rows(
+    batch: pa.Table, id_col: str, num_bands: int, rows_per_band: int
+) -> pa.Table:
+    """(id, sig) -> (id, band, band_hash) rows: the ONLY payload that crosses
+    the bucket shuffle is ~20 bytes/row, not the full signature."""
+    ids = batch.column(id_col).to_pylist()
+    sigs = np.vstack(
+        [np.frombuffer(s, dtype=np.uint64) for s in batch.column("sig").to_pylist()]
+    ) if batch.num_rows else np.zeros((0, num_bands * rows_per_band), dtype=np.uint64)
     bands = batch_band_hashes(sigs, num_bands, rows_per_band)
-    n = len(texts)
-    out_id, out_band, out_hash, out_sig = [], [], [], []
+    n = len(ids)
+    out_id, out_band, out_hash = [], [], []
     for b in range(num_bands):
         out_id.extend(ids)
         out_band.extend([b] * n)
         out_hash.extend(int(x) for x in bands[:, b])
-        out_sig.extend(sigs[i].tobytes() for i in range(n))
     return pa.table(
         {
             id_col: pa.array(out_id),
             "band": pa.array(out_band, pa.int32()),
             "band_hash": pa.array(out_hash, pa.uint64()),
-            "sig": pa.array(out_sig, pa.binary()),
         }
     )
+
+
+# candidate-doc count above which pair verification switches from a
+# broadcast sig dict to partitioned hash joins
+_VERIFY_BROADCAST_MAX = 500_000
 
 
 def minhash_lsh_pairs(
@@ -102,54 +125,124 @@ def minhash_lsh_pairs(
     threshold: float = 0.7,
     max_bucket: int = 512,
 ):
-    """Near-dup candidate pairs (id_a < id_b, est_jaccard >= threshold)."""
+    """Near-dup candidate pairs (id_a < id_b, est_jaccard >= threshold).
+
+    Pipeline: sig table (one sig per doc) -> band rows (id, band, band_hash
+    only — signatures do NOT ride the bucket shuffle) -> per-bucket candidate
+    pairs -> pair dedup -> signature verification (broadcast sig dict below
+    _VERIFY_BROADCAST_MAX docs, two narrow hash joins above)."""
     register_for_ray()
-    rows = ds.map_batches(
-        lambda b: _sig_rows(b, text_col, id_col, num_bands, rows_per_band),
+    sigs_ds = ds.map_batches(
+        lambda b: _sig_table(b, text_col, id_col, num_bands, rows_per_band),
+        batch_format="pyarrow",
+    ).materialize()
+    rows = sigs_ds.map_batches(
+        lambda b: _band_rows(b, id_col, num_bands, rows_per_band),
         batch_format="pyarrow",
     )
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
         ids = group.column(id_col).to_pylist()
-        sigs = [np.frombuffer(s, dtype=np.uint64) for s in group.column("sig").to_pylist()]
         n = len(ids)
         if n > max_bucket:
-            order = sorted(range(n), key=lambda i: ids[i])[:max_bucket]
-            ids = [ids[i] for i in order]
-            sigs = [sigs[i] for i in order]
+            ids = sorted(ids)[:max_bucket]
             n = max_bucket
-        a_out, b_out, sim_out = [], [], []
+        a_out, b_out = [], []
         for i in range(n):
             for j in range(i + 1, n):
                 if ids[i] == ids[j]:
                     continue
-                sim = signature_similarity(list(sigs[i]), list(sigs[j]))
-                if sim >= threshold:
-                    lo, hi = sorted((ids[i], ids[j]))
-                    a_out.append(lo)
-                    b_out.append(hi)
-                    sim_out.append(sim)
-        return pa.table(
-            {
-                "id_a": pa.array(a_out),
-                "id_b": pa.array(b_out),
-                "est_jaccard": pa.array(sim_out, pa.float64()),
-            }
-        )
+                lo, hi = sorted((ids[i], ids[j]))
+                a_out.append(lo)
+                b_out.append(hi)
+        t = group.column(id_col).type
+        return pa.table({"id_a": pa.array(a_out, t), "id_b": pa.array(b_out, t)})
 
     pairs = rows.groupby(["band", "band_hash"]).map_groups(
         bucket_pairs, batch_format="pyarrow"
     )
     # a pair can surface from several bands -> dedup by (id_a, id_b)
-    from ray.data.aggregate import Max
+    from ray.data.aggregate import Count
 
-    out = pairs.groupby(["id_a", "id_b"]).aggregate(Max("est_jaccard"))
-    return out.map_batches(
-        lambda b: b.rename_columns(
-            [{"max(est_jaccard)": "est_jaccard"}.get(c, c) for c in b.column_names]
-        ),
+    uniq = pairs.groupby(["id_a", "id_b"]).aggregate(Count())
+    uniq = uniq.map_batches(
+        lambda b: b.select(["id_a", "id_b"]), batch_format="pyarrow"
+    )
+
+    n_docs = sigs_ds.count()
+    if n_docs <= _VERIFY_BROADCAST_MAX:
+        import ray
+
+        sig_ref = ray.put(
+            {
+                i: s
+                for t in (ray.get(r) for r in sigs_ds.to_arrow_refs())
+                for i, s in zip(t.column(id_col).to_pylist(), t.column("sig").to_pylist())
+            }
+        )
+
+        class _Verify:
+            def __init__(self, ref):
+                self.sigs = {
+                    k: np.frombuffer(v, dtype=np.uint64)
+                    for k, v in ray.get(ref).items()
+                }
+
+            def __call__(self, b: pa.Table) -> pa.Table:
+                a_ids = b.column("id_a").to_pylist()
+                b_ids = b.column("id_b").to_pylist()
+                sims = [
+                    signature_similarity(
+                        list(self.sigs[a]), list(self.sigs[bb])
+                    )
+                    for a, bb in zip(a_ids, b_ids)
+                ]
+                out = b.append_column("est_jaccard", pa.array(sims, pa.float64()))
+                return out.filter(
+                    pc.greater_equal(out.column("est_jaccard"), threshold)
+                )
+
+        return uniq.map_batches(
+            _Verify, fn_constructor_args=(sig_ref,), batch_format="pyarrow",
+            concurrency=(1, 4),
+        )
+
+    # scale path: two narrow hash joins annotate each pair with its two sigs
+    njoin = min(64, max(2, n_docs // 500_000 + 2))
+    sig_a = sigs_ds.map_batches(
+        lambda b: pa.table({"ja": b.column(id_col), "sig_a": b.column("sig")}),
         batch_format="pyarrow",
     )
+    sig_b = sigs_ds.map_batches(
+        lambda b: pa.table({"jb": b.column(id_col), "sig_b": b.column("sig")}),
+        batch_format="pyarrow",
+    )
+    j = uniq.join(
+        sig_a, join_type="inner", num_partitions=njoin, on=("id_a",), right_on=("ja",)
+    ).join(
+        sig_b, join_type="inner", num_partitions=njoin, on=("id_b",), right_on=("jb",)
+    )
+
+    def _score(b: pa.Table) -> pa.Table:
+        sims = [
+            signature_similarity(
+                list(np.frombuffer(sa, dtype=np.uint64)),
+                list(np.frombuffer(sb, dtype=np.uint64)),
+            )
+            for sa, sb in zip(
+                b.column("sig_a").to_pylist(), b.column("sig_b").to_pylist()
+            )
+        ]
+        out = pa.table(
+            {
+                "id_a": b.column("id_a"),
+                "id_b": b.column("id_b"),
+                "est_jaccard": pa.array(sims, pa.float64()),
+            }
+        )
+        return out.filter(pc.greater_equal(out.column("est_jaccard"), threshold))
+
+    return j.map_batches(_score, batch_format="pyarrow")
 
 
 def minhash_dedup_ids(ds, **kwargs):

@@ -343,12 +343,108 @@ def build_corefharness() -> None:
     subprocess.run(["cargo", "build", "--release"], cwd="/tmp/corefharness", check=True)
 
 
+SIMPLECOREF_MAIN = r'''
+// Shims for SimpleCorefResolver (eval/coref_resolver.rs). The resolver's
+// canonical map is aliased to BTreeMap so strategy-3 iteration is SORTED —
+// the reference's HashMap order is unspecified; our Python port iterates in
+// sorted order and this harness makes the reference do the same, so any
+// mismatch is a real semantic bug, not map-order noise.
+use std::collections::BTreeMap as HashMap;
+use std::io::Read;
+
+#[derive(Debug, Clone, PartialEq)]
+pub enum EntityType { Person, Organization, Location, Other(String) }
+impl EntityType {
+    pub fn as_label(&self) -> &str {
+        match self { EntityType::Person => "PER", EntityType::Organization => "ORG",
+                     EntityType::Location => "LOC", EntityType::Other(s) => s.as_str() }
+    }
+    pub fn from_label(s: &str) -> Self {
+        match s { "PER" => EntityType::Person, "ORG" => EntityType::Organization,
+                  "LOC" => EntityType::Location, other => EntityType::Other(other.to_string()) }
+    }
+}
+
+#[derive(Debug, Clone)]
+pub struct Entity {
+    pub text: String,
+    pub entity_type: EntityType,
+    pub start: usize,
+    pub end: usize,
+    pub confidence: f64,
+    pub canonical_id: Option<u64>,
+}
+impl Entity {
+    pub fn new(text: impl Into<String>, entity_type: EntityType, start: usize, end: usize, confidence: f64) -> Self {
+        Entity { text: text.into(), entity_type, start, end, confidence, canonical_id: None }
+    }
+}
+
+REPLACED_FNS
+
+fn main() {
+    // stdin lines: [NF\t]ent\x1eent...  ent = text\x1flabel\x1fstart\x1fend
+    // output: canonical ids comma-joined
+    let mut buf = String::new();
+    std::io::stdin().read_to_string(&mut buf).unwrap();
+    for line in buf.lines() {
+        if line.is_empty() { println!(); continue; }
+        let (cfg, ents_raw) = match line.split_once('\t') {
+            Some((c, rest)) if c == "NF" => (CorefConfig { fuzzy_matching: false, ..CorefConfig::default() }, rest),
+            _ => (CorefConfig::default(), line),
+        };
+        let mut entities = Vec::new();
+        for e in ents_raw.split('\x1e') {
+            let f: Vec<&str> = e.split('\x1f').collect();
+            if f.len() == 4 {
+                entities.push(Entity::new(
+                    f[0], EntityType::from_label(f[1]),
+                    f[2].parse().unwrap(), f[3].parse().unwrap(), 0.9));
+            }
+        }
+        let resolver = SimpleCorefResolver::new(cfg);
+        let resolved = resolver.resolve(&entities);
+        let ids: Vec<String> = resolved.iter()
+            .map(|e| e.canonical_id.map(|i| i.to_string()).unwrap_or_default())
+            .collect();
+        println!("{}", ids.join(","));
+    }
+}
+'''
+
+
+def build_simplecorefharness() -> None:
+    os.makedirs("/tmp/simplecorefharness/src", exist_ok=True)
+    src = open(f"{REF}/anno/src/eval/coref_resolver.rs", encoding="utf-8").read()
+    parts = [
+        _balanced_fn(src, "pub struct CorefConfig"),
+        _balanced_fn(src, "impl Default for CorefConfig"),
+        _balanced_fn(src, "pub struct SimpleCorefResolver"),
+        _balanced_fn(src, "impl Default for SimpleCorefResolver"),
+    ]
+    impl = _balanced_fn(src, "impl SimpleCorefResolver")
+    # resolve_to_chains needs CorefChain (not shimmed): drop that one method
+    chains_fn = _balanced_fn(impl, "pub fn resolve_to_chains")
+    impl = impl.replace(chains_fn, "")
+    impl = re.sub(r"#\[must_use\]\s*\n(\s*)(?=\s*})", "", impl)
+    parts.append(impl)
+    fns = "\n\n".join(parts)
+    open("/tmp/simplecorefharness/src/main.rs", "w", encoding="utf-8").write(
+        SIMPLECOREF_MAIN.replace("REPLACED_FNS", fns)
+    )
+    open("/tmp/simplecorefharness/Cargo.toml", "w", encoding="utf-8").write(
+        _cargo_toml("simplecorefharness")
+    )
+    subprocess.run(["cargo", "build", "--release"], cwd="/tmp/simplecorefharness", check=True)
+
+
 def main() -> int:
     build_refharness()
     build_heurharness()
     build_evharness()
     build_corefharness()
-    print("all harnesses built under /tmp/{ref,heur,ev}harness")
+    build_simplecorefharness()
+    print("all harnesses built under /tmp/{ref,heur,ev,coref,simplecoref}harness")
     return 0
 
 
