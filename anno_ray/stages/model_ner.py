@@ -22,12 +22,177 @@ from __future__ import annotations
 import hashlib
 from collections import OrderedDict
 
+import numpy as np
 import pyarrow as pa
 
 from ..core.types import Mention
 from ..ray_utils import register_for_ray
 
 PROMPT_CACHE_SIZE = 100  # gliner_onnx.rs:125 LruCache size
+
+# GLiNER ONNX constants (gliner_onnx.rs:38-44)
+MAX_SPAN_WIDTH = 12
+TOKEN_START = 1
+TOKEN_END = 2
+TOKEN_ENT = 128002
+TOKEN_SEP = 128003
+
+
+# --- real-model inference path (gliner_onnx.rs:285-660) ----------------------
+#
+# These functions are the load/tokenize/encode/decode seam: with an ONNX
+# runtime + model + tokenizer present, the actor runs REAL zero-shot NER; in
+# this container they are exercised by unit tests with a stub session
+# (tests/test_metrics_index_model.py) so dropping a model file in makes the
+# stage live without code changes.
+
+
+def encode_prompt(
+    tokenize, text_words: list[str], entity_types: list[str]
+) -> tuple[list[int], list[int], list[int], int, int]:
+    """Word-by-word GLiNER prompt encoding (gliner_onnx.rs:488-563).
+
+    ``tokenize(word) -> list[int]`` is the subword tokenizer (HF tokenizers'
+    ``encode(word, add_special_tokens=False).ids``). Layout:
+    START, (<<ENT>> type-tokens)*, <<SEP>>, text word tokens (words_mask
+    carries the 1-based word id on each word's FIRST subword), END.
+    Returns (input_ids, attention_mask, words_mask, num_words, num_types).
+    """
+    input_ids: list[int] = [TOKEN_START]
+    words_mask: list[int] = [0]
+    for entity_type in entity_types:
+        input_ids.append(TOKEN_ENT)
+        words_mask.append(0)
+        for tok in tokenize(entity_type):
+            input_ids.append(tok)
+            words_mask.append(0)
+    input_ids.append(TOKEN_SEP)
+    words_mask.append(0)
+    word_id = 0
+    for word in text_words:
+        toks = tokenize(word)
+        word_id += 1
+        for k, tok in enumerate(toks):
+            input_ids.append(tok)
+            words_mask.append(word_id if k == 0 else 0)
+    input_ids.append(TOKEN_END)
+    words_mask.append(0)
+    return input_ids, [1] * len(input_ids), words_mask, word_id, len(entity_types)
+
+
+def make_span_tensors(num_words: int) -> tuple[np.ndarray, np.ndarray]:
+    """span_idx (num_words*12, 2) + span_mask, gline-rs layout
+    (gliner_onnx.rs:568-615): dim = start*12 + width, span = (start,
+    start+width), masked true only while start+width < num_words."""
+    num_spans = num_words * MAX_SPAN_WIDTH
+    span_idx = np.zeros((num_spans, 2), dtype=np.int64)
+    span_mask = np.zeros(num_spans, dtype=bool)
+    for start in range(num_words):
+        for width in range(min(MAX_SPAN_WIDTH, num_words - start)):
+            dim = start * MAX_SPAN_WIDTH + width
+            span_idx[dim, 0] = start
+            span_idx[dim, 1] = start + width
+            span_mask[dim] = True
+    return span_idx, span_mask
+
+
+def word_span_to_char_offsets(
+    text: str, words: list[str], start_word: int, end_word: int
+) -> tuple[int, int]:
+    """Sequential-search word->char offsets (gliner_onnx.rs:874-930; the
+    reference searches by byte — identical to char indices for ASCII; we
+    index by chars, the Entity offset contract)."""
+    if not words or start_word >= len(words) or end_word >= len(words) or start_word > end_word:
+        return (0, 0)
+    pos = 0
+    start_c = 0
+    end_c = len(text)
+    for idx, word in enumerate(words):
+        found = text.find(word, pos)
+        if found < 0:
+            break
+        if idx == start_word:
+            start_c = found
+        if idx == end_word:
+            end_c = found + len(word)
+            break
+        pos = found + len(word)
+    return (start_c, end_c)
+
+
+def _sigmoid(x: np.ndarray) -> np.ndarray:
+    return 1.0 / (1.0 + np.exp(-x))
+
+
+def map_entity_type(type_str: str) -> str:
+    """Zero-shot label -> canonical label (gliner_onnx.rs:862-872)."""
+    t = type_str.lower()
+    return {
+        "person": "PER", "per": "PER",
+        "organization": "ORG", "org": "ORG",
+        "location": "LOC", "loc": "LOC", "gpe": "LOC",
+        "date": "DATE", "time": "DATE",
+        "money": "MONEY", "currency": "MONEY",
+        "percent": "PERCENT", "percentage": "PERCENT",
+    }.get(t, type_str)
+
+
+def decode_output(
+    output: np.ndarray,
+    text: str,
+    text_words: list[str],
+    entity_types: list[str],
+    threshold: float,
+) -> list[Mention]:
+    """Span-logit tensor -> mentions (gliner_onnx.rs:640-860). Accepts both
+    exported shapes: [1, num_words, max_width, num_classes] and
+    [1, num_spans, num_classes] (span dim = word*12 + width). Sigmoid then
+    threshold; span text sliced from the source text."""
+    out: list[Mention] = []
+    n = len(text_words)
+    arr = np.asarray(output, dtype=np.float32)
+    if arr.size == 0:
+        return out
+    if arr.ndim == 4 and arr.shape[0] == 1:
+        scores = _sigmoid(arr[0])
+        for word_idx in range(min(arr.shape[1], n)):
+            for width in range(min(arr.shape[2], MAX_SPAN_WIDTH)):
+                end_word = word_idx + width
+                if end_word >= n:
+                    continue
+                for class_idx in range(min(arr.shape[3], len(entity_types))):
+                    score = float(scores[word_idx, width, class_idx])
+                    if score >= threshold:
+                        s, e = word_span_to_char_offsets(
+                            text, text_words, word_idx, end_word
+                        )
+                        out.append(
+                            Mention(
+                                text[s:e], map_entity_type(entity_types[class_idx]),
+                                s, e, score, "zero_shot", "model",
+                            )
+                        )
+    elif arr.ndim == 3 and arr.shape[0] == 1:
+        scores = _sigmoid(arr[0])
+        for span_idx in range(arr.shape[1]):
+            word_idx = span_idx // MAX_SPAN_WIDTH
+            width = span_idx % MAX_SPAN_WIDTH
+            end_word = word_idx + width
+            if word_idx >= n or end_word >= n:
+                continue
+            for class_idx in range(min(arr.shape[2], len(entity_types))):
+                score = float(scores[span_idx, class_idx])
+                if score >= threshold:
+                    s, e = word_span_to_char_offsets(
+                        text, text_words, word_idx, end_word
+                    )
+                    out.append(
+                        Mention(
+                            text[s:e], map_entity_type(entity_types[class_idx]),
+                            s, e, score, "zero_shot", "model",
+                        )
+                    )
+    return out
 
 
 class _LRU(OrderedDict):
@@ -67,17 +232,35 @@ class ZeroShotNERActor:
         self.model = self._load_model(model_path)
 
     def _load_model(self, model_path: str | None):
+        """Real path: ONNX session + HF tokenizer loaded once per actor
+        (gliner_onnx.rs:116-280). With a runtime + ``model_path`` pointing at
+        a GLiNER ONNX export (tokenizer.json beside it), this stage runs live
+        — no code change needed; only the import gate is container-specific."""
         if self.fake:
             return "fake"
         try:
-            import onnxruntime  # noqa: F401
+            import onnxruntime
         except ImportError:
             raise NotImplementedError(
                 "no ONNX runtime in this container; construct with fake=True "
                 "to exercise the actor-pool plumbing with the deterministic "
                 "stand-in scorer"
             ) from None
-        raise NotImplementedError("real model loading not wired in this build")
+        if not model_path:
+            raise ValueError("model_path required when fake=False")
+        session = onnxruntime.InferenceSession(model_path)
+        self.tokenizer = self._load_tokenizer(model_path)
+        return session
+
+    @staticmethod
+    def _load_tokenizer(model_path: str):
+        import os
+
+        from tokenizers import Tokenizer  # HF tokenizers
+
+        tok_path = os.path.join(os.path.dirname(model_path), "tokenizer.json")
+        tok = Tokenizer.from_file(tok_path)
+        return lambda word: tok.encode(word, add_special_tokens=False).ids
 
     def _prompt_key(self, labels: tuple[str, ...]) -> int:
         # FNV-style label-set hash, the cache key scheme of
@@ -93,6 +276,8 @@ class ZeroShotNERActor:
         return self.prompt_cache.get_or(key, lambda: {"key": key, "labels": labels})
 
     def _extract_one(self, text: str) -> list[Mention]:
+        if not self.fake:
+            return self._extract_real(text)
         # deterministic fake: "detect" capitalized words whose blake2 hash
         # selects a label; stands in for span-classification inference
         _prompt = self._encode_prompt(tuple(self.labels))
@@ -113,6 +298,41 @@ class ZeroShotNERActor:
                                 "zero_shot", "model")
                     )
         return out
+
+    def _extract_real(self, text: str) -> list[Mention]:
+        """Full GLiNER inference round trip (gliner_onnx.rs:285-380): encode
+        prompt (LRU-cached per actor), build span tensors, run the session,
+        decode. ``self.model`` is any object with onnxruntime's
+        ``run(None, feeds) -> [output]`` contract — the unit tests drive this
+        with a stub session, the production path with a real one."""
+        if not text:
+            return []
+        text_words = text.split()
+        if not text_words:
+            return []
+        key = (
+            hashlib.blake2b(text.encode("utf-8"), digest_size=8).digest(),
+            self._prompt_key(tuple(sorted(self.labels))),
+        )
+        input_ids, attention_mask, words_mask, n_words, _n_types = (
+            self.prompt_cache.get_or(
+                key,
+                lambda: encode_prompt(self.tokenizer, text_words, self.labels),
+            )
+        )
+        span_idx, span_mask = make_span_tensors(n_words)
+        feeds = {
+            "input_ids": np.asarray([input_ids], dtype=np.int64),
+            "attention_mask": np.asarray([attention_mask], dtype=np.int64),
+            "words_mask": np.asarray([words_mask], dtype=np.int64),
+            "text_lengths": np.asarray([[n_words]], dtype=np.int64),
+            "span_idx": span_idx[None, :, :],
+            "span_mask": span_mask[None, :],
+        }
+        outputs = self.model.run(None, feeds)
+        return decode_output(
+            outputs[0], text, text_words, self.labels, self.threshold
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch.column("url").to_pylist()

@@ -100,3 +100,137 @@ def test_sinks(ray_session, tmp_path):
     tsv = mentions_tsv(mentions_table(docs))
     header = tsv.splitlines()[0].split("\t")
     assert "label" in header and len(tsv.splitlines()) > 10
+
+
+# --- real-model ONNX seam (M1/M2): encode/span/decode with a stub session ----
+
+class _StubSession:
+    """onnxruntime.InferenceSession.run contract: feeds -> [logit tensor].
+    Emits +10 logits for the spans configured, -10 elsewhere."""
+
+    def __init__(self, hot_spans, n_classes, shape3d=False):
+        self.hot = hot_spans  # {(word_idx, width, class_idx)}
+        self.n_classes = n_classes
+        self.shape3d = shape3d
+        self.calls = 0
+
+    def run(self, _names, feeds):
+        import numpy as np
+
+        from anno_ray.stages.model_ner import MAX_SPAN_WIDTH
+
+        self.calls += 1
+        n_words = int(feeds["text_lengths"][0][0])
+        if self.shape3d:
+            out = np.full((1, n_words * MAX_SPAN_WIDTH, self.n_classes), -10.0, np.float32)
+            for (w, wd, c) in self.hot:
+                out[0, w * MAX_SPAN_WIDTH + wd, c] = 10.0
+        else:
+            out = np.full((1, n_words, MAX_SPAN_WIDTH, self.n_classes), -10.0, np.float32)
+            for (w, wd, c) in self.hot:
+                out[0, w, wd, c] = 10.0
+        return [out]
+
+
+def _toy_tokenize(word):
+    # deterministic multi-subword tokenizer: one token per 4 chars
+    return [1000 + (hash(word) % 100) + i for i in range((len(word) + 3) // 4)]
+
+
+def test_encode_prompt_layout():
+    from anno_ray.stages.model_ner import (
+        TOKEN_END,
+        TOKEN_ENT,
+        TOKEN_SEP,
+        TOKEN_START,
+        encode_prompt,
+    )
+
+    tok = lambda w: [500] if w == "person" else [600, 601] if w == "Johnathan" else [700]
+    ids, attn, wmask, n_words, n_types = encode_prompt(
+        tok, ["Johnathan", "works"], ["person"]
+    )
+    assert ids == [TOKEN_START, TOKEN_ENT, 500, TOKEN_SEP, 600, 601, 700, TOKEN_END]
+    # word ids are 1-based on each word's FIRST subword only
+    assert wmask == [0, 0, 0, 0, 1, 0, 2, 0]
+    assert attn == [1] * len(ids)
+    assert n_words == 2 and n_types == 1
+
+
+def test_make_span_tensors():
+    from anno_ray.stages.model_ner import MAX_SPAN_WIDTH, make_span_tensors
+
+    span_idx, span_mask = make_span_tensors(3)
+    assert span_idx.shape == (3 * MAX_SPAN_WIDTH, 2)
+    assert int(span_mask.sum()) == 3 + 2 + 1  # widths clipped at text end
+    # dim layout: start*12 + width -> (start, start+width)
+    assert list(span_idx[0]) == [0, 0]
+    assert list(span_idx[1]) == [0, 1]
+    assert list(span_idx[MAX_SPAN_WIDTH]) == [1, 1]
+
+
+def test_decode_output_4d_and_3d():
+    import numpy as np
+
+    from anno_ray.stages.model_ner import MAX_SPAN_WIDTH, decode_output
+
+    text = "John works at Acme Corp"
+    words = text.split()
+    out = np.full((1, 5, MAX_SPAN_WIDTH, 2), -10.0, np.float32)
+    out[0, 0, 0, 0] = 10.0  # "John" -> class 0
+    out[0, 3, 1, 1] = 10.0  # "Acme Corp" -> class 1
+    ments = decode_output(out, text, words, ["person", "org"], 0.5)
+    got = {(m.text, m.label) for m in ments}
+    assert got == {("John", "PER"), ("Acme Corp", "ORG")}
+    assert all(m.conf > 0.99 for m in ments)
+    assert all(text[m.start:m.end] == m.text for m in ments)
+
+    out3 = np.full((1, 5 * MAX_SPAN_WIDTH, 2), -10.0, np.float32)
+    out3[0, 0 * MAX_SPAN_WIDTH + 0, 0] = 10.0
+    out3[0, 3 * MAX_SPAN_WIDTH + 1, 1] = 10.0
+    ments3 = decode_output(out3, text, words, ["person", "org"], 0.5)
+    assert {(m.text, m.label) for m in ments3} == got
+
+
+def test_decode_spans_past_text_end_skipped():
+    import numpy as np
+
+    from anno_ray.stages.model_ner import MAX_SPAN_WIDTH, decode_output
+
+    out = np.full((1, 2, MAX_SPAN_WIDTH, 1), -10.0, np.float32)
+    out[0, 1, 5, 0] = 10.0  # end_word = 6 >= 2 words -> skipped
+    assert decode_output(out, "a b", ["a", "b"], ["person"], 0.5) == []
+
+
+def test_actor_real_path_with_stub_session():
+    import pyarrow as pa
+
+    from anno_ray.stages.model_ner import ZeroShotNERActor
+
+    actor = ZeroShotNERActor(["person", "org"], fake=True, threshold=0.5)
+    stub = _StubSession({(0, 0, 0), (3, 1, 1)}, n_classes=2)
+    actor.fake = False
+    actor.model = stub
+    actor.tokenizer = _toy_tokenize
+
+    batch = pa.table(
+        {
+            "url": pa.array(["u1", "u2"]),
+            "text": pa.array(["John works at Acme Corp", "John works at Acme Corp"]),
+        }
+    )
+    out = actor(batch)
+    assert out.num_rows == 4  # 2 mentions per doc
+    assert set(out.column("label").to_pylist()) == {"PER", "ORG"}
+    assert stub.calls == 2  # one inference per doc
+    # prompt-encoding LRU: second identical text reused the cached encoding
+    assert len(actor.prompt_cache) == 1
+
+
+def test_actor_without_runtime_raises():
+    import pytest
+
+    from anno_ray.stages.model_ner import ZeroShotNERActor
+
+    with pytest.raises((NotImplementedError, ValueError)):
+        ZeroShotNERActor(["person"], fake=False)
