@@ -44,7 +44,11 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..core.minhash import batch_band_hashes, batch_signatures
-from ..core.normalize import jaccard_similarity, string_similarity
+from ..core.normalize import (
+    embedding_similarity,
+    jaccard_similarity,
+    string_similarity,
+)
 from ..ray_utils import register_for_ray
 
 MODE_CDCR = "cdcr"          # string_similarity >= 0.5 (eval/cdcr.rs defaults)
@@ -59,6 +63,34 @@ _TYPE_GROUPS = {
 
 def type_group(label: str) -> str:
     return _TYPE_GROUPS.get(label.lower(), label.upper())
+
+
+def _embeddings_of(tbl: pa.Table):
+    """Optional per-surface embeddings (list<float> column named
+    'embedding'); None when absent."""
+    if "embedding" not in tbl.column_names:
+        return None
+    return tbl.column("embedding").to_pylist()
+
+
+def _pair_scorer(surfaces, embs, mode: str):
+    """Reference scoring preference (coalesce/src/resolver.rs:128-136): when
+    BOTH sides carry an embedding, score by cosine normalized to [0,1]
+    ((cos+1)/2, resolver.rs:280-296); otherwise fall back to the mode's
+    surface similarity. Surface-LSH blocking still gates which pairs are
+    scored — a documented difference from the reference's all-pairs loop."""
+    string_sim = string_similarity if mode == MODE_CDCR else jaccard_similarity
+
+    if embs is None:
+        return lambda i, j: string_sim(surfaces[i], surfaces[j])
+
+    def score(i: int, j: int) -> float:
+        ea, eb = embs[i], embs[j]
+        if ea is not None and eb is not None and len(ea) and len(eb):
+            return embedding_similarity(ea, eb)
+        return string_sim(surfaces[i], surfaces[j])
+
+    return score
 
 
 def canonical_hash(entity_type: str, norm_surface: str) -> int:
@@ -108,8 +140,16 @@ def surface_groups(
 
 # --- 2. fuzzy pass -----------------------------------------------------------
 
-def _band_rows(batch: pa.Table, num_bands: int, rows_per_band: int) -> pa.Table:
-    """surfaces -> (band, band_hash, entity_type, norm_surface) rows."""
+def _band_rows(
+    batch: pa.Table, num_bands: int, rows_per_band: int, num_partitions: int = 256
+) -> pa.Table:
+    """surfaces -> (part, band, band_hash, entity_type, norm_surface) rows.
+
+    ``part = band_hash % num_partitions`` is the COARSE shuffle key: grouping
+    by the raw (band, band_hash) would create millions of 1-2 row groups and
+    per-group overhead would dominate; grouping by ``part`` co-locates all
+    rows of a bucket while keeping the group count fixed, and the per-group
+    kernel resolves the fine buckets vectorized."""
     surfaces = batch.column("norm_surface").to_pylist()
     types = batch.column("entity_type").to_pylist()
     sigs = batch_signatures(surfaces, num_bands, rows_per_band)
@@ -124,14 +164,20 @@ def _band_rows(batch: pa.Table, num_bands: int, rows_per_band: int) -> pa.Table:
         out_surface.extend(surfaces)
         out_band.extend([b] * n)
         out_hash.extend(int(x) for x in bands[:, b])
-    return pa.table(
-        {
-            "entity_type": pa.array(out_type, pa.string()),
-            "norm_surface": pa.array(out_surface, pa.string()),
-            "band": pa.array(out_band, pa.int32()),
-            "band_hash": pa.array(out_hash, pa.uint64()),
-        }
-    )
+    hash_arr = np.array(out_hash, dtype=np.uint64)
+    cols = {
+        "part": pa.array(
+            (hash_arr % np.uint64(num_partitions)).astype(np.int64), pa.int64()
+        ),
+        "entity_type": pa.array(out_type, pa.string()),
+        "norm_surface": pa.array(out_surface, pa.string()),
+        "band": pa.array(out_band, pa.int32()),
+        "band_hash": pa.array(hash_arr, pa.uint64()),
+    }
+    embs = _embeddings_of(batch)
+    if embs is not None:
+        cols["embedding"] = pa.array(embs * num_bands)
+    return pa.table(cols)
 
 
 def _bucket_edges(
@@ -144,6 +190,7 @@ def _bucket_edges(
     """Pairwise similarity inside one (band, band_hash) bucket -> edges."""
     types = group.column("entity_type").to_pylist()
     surfaces = group.column("norm_surface").to_pylist()
+    embs = _embeddings_of(group)
     n = len(surfaces)
     ea, eb, et_a, et_b = [], [], [], []
     overflow = 0
@@ -155,17 +202,98 @@ def _bucket_edges(
         order = sorted(range(n), key=lambda i: (surfaces[i], types[i]))[:max_bucket]
         types = [types[i] for i in order]
         surfaces = [surfaces[i] for i in order]
+        if embs is not None:
+            embs = [embs[i] for i in order]
         n = max_bucket
-    sim = string_similarity if mode == MODE_CDCR else jaccard_similarity
+    sim = _pair_scorer(surfaces, embs, mode)
     for i in range(n):
         for j in range(i + 1, n):
             if require_type_match and types[i] != types[j]:
                 continue
             if surfaces[i] == surfaces[j]:
                 continue  # same surface, (possibly) different type: no edge
-            if sim(surfaces[i], surfaces[j]) >= threshold:
+            if sim(i, j) >= threshold:
                 ea.append(surfaces[i]); eb.append(surfaces[j])
                 et_a.append(types[i]); et_b.append(types[j])
+    if overflow:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "LSH bucket overflow: %d surfaces dropped beyond cap %d",
+            overflow, max_bucket,
+        )
+    return pa.table(
+        {
+            "type_a": pa.array(et_a, pa.string()),
+            "surface_a": pa.array(ea, pa.string()),
+            "type_b": pa.array(et_b, pa.string()),
+            "surface_b": pa.array(eb, pa.string()),
+        }
+    )
+
+
+def _edges_from_banded_partition(
+    group: pa.Table,
+    mode: str,
+    threshold: float,
+    require_type_match: bool,
+    max_bucket: int,
+) -> pa.Table:
+    """One coarse hash partition of band rows -> edges.
+
+    Finds the fine (band, band_hash) buckets with a numpy lexsort + run
+    detection (no per-bucket task), then scores pairs inside each bucket with
+    the SAME deterministic overflow selection as _bucket_edges. Duplicate
+    edges across partitions/bands are tolerated (union-find and min-label
+    propagation are idempotent); within the partition a seen-set dedups."""
+    types = group.column("entity_type").to_pylist()
+    surfaces = group.column("norm_surface").to_pylist()
+    embs = _embeddings_of(group)
+    bands = group.column("band").to_numpy(zero_copy_only=False).astype(np.int64)
+    hashes = group.column("band_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
+    n = len(surfaces)
+    if n < 2:
+        return pa.table(
+            {
+                "type_a": pa.array([], pa.string()),
+                "surface_a": pa.array([], pa.string()),
+                "type_b": pa.array([], pa.string()),
+                "surface_b": pa.array([], pa.string()),
+            }
+        )
+    sim = _pair_scorer(surfaces, embs, mode)
+    order = np.lexsort((hashes, bands))
+    sb = bands[order]
+    sh = hashes[order]
+    starts = np.flatnonzero(np.r_[True, (sb[1:] != sb[:-1]) | (sh[1:] != sh[:-1])])
+    ends = np.r_[starts[1:], n]
+    seen: set[tuple[str, str, str, str]] = set()
+    ea, eb, et_a, et_b = [], [], [], []
+    overflow = 0
+    for s, e in zip(starts, ends):
+        if e - s < 2:
+            continue
+        members = order[s:e]
+        if len(members) > max_bucket:
+            overflow += len(members) - max_bucket
+            members = sorted(
+                members, key=lambda i: (surfaces[i], types[i])
+            )[:max_bucket]
+        for x in range(len(members)):
+            i = members[x]
+            for y in range(x + 1, len(members)):
+                j = members[y]
+                if require_type_match and types[i] != types[j]:
+                    continue
+                if surfaces[i] == surfaces[j]:
+                    continue
+                key = (types[i], surfaces[i], types[j], surfaces[j])
+                if key in seen:
+                    continue
+                seen.add(key)
+                if sim(i, j) >= threshold:
+                    ea.append(surfaces[i]); eb.append(surfaces[j])
+                    et_a.append(types[i]); et_b.append(types[j])
     if overflow:
         import logging
 
@@ -197,10 +325,11 @@ def _edges_from_surface_table(
     per-group task overhead, which dominates when buckets are tiny."""
     types = tbl.column("entity_type").to_pylist()
     surfaces = tbl.column("norm_surface").to_pylist()
+    embs = _embeddings_of(tbl)
     sigs = batch_signatures(surfaces, num_bands, rows_per_band)
     bands = batch_band_hashes(sigs, num_bands, rows_per_band)  # (n, bands)
     n = len(surfaces)
-    sim = string_similarity if mode == MODE_CDCR else jaccard_similarity
+    sim = _pair_scorer(surfaces, embs, mode)
     seen_pairs: set[tuple[int, int]] = set()
     ea, eb, et_a, et_b = [], [], [], []
     overflow = 0
@@ -237,7 +366,7 @@ def _edges_from_surface_table(
                         continue
                     if surfaces[i] == surfaces[j]:
                         continue
-                    if sim(surfaces[i], surfaces[j]) >= threshold:
+                    if sim(i, j) >= threshold:
                         ea.append(surfaces[i]); eb.append(surfaces[j])
                         et_a.append(types[i]); et_b.append(types[j])
     if overflow:
@@ -289,7 +418,9 @@ def fuzzy_edges(
         n_surfaces = surfaces_ds.count()
 
     if n_surfaces <= max_task_surfaces:
-        surf_tbl = _to_table(surfaces_ds, ["entity_type", "norm_surface"])
+        surf_tbl = _to_table(
+            surfaces_ds, ["entity_type", "norm_surface", "embedding"]
+        )
 
         @ray.remote
         def _task(tbl):
@@ -301,11 +432,17 @@ def fuzzy_edges(
         return ray.get(_task.remote(surf_tbl))
     surfaces_ds = _as_dataset(surfaces_ds)
 
+    # coarse hash partitioning: ONE shuffle, fixed group count, buckets
+    # resolved vectorized inside each group (see _band_rows docstring)
+    coarse_parts = 256
     banded = surfaces_ds.map_batches(
-        lambda b: _band_rows(b, num_bands, rows_per_band), batch_format="pyarrow"
+        lambda b: _band_rows(b, num_bands, rows_per_band, coarse_parts),
+        batch_format="pyarrow",
     )
-    return banded.groupby(["band", "band_hash"]).map_groups(
-        lambda g: _bucket_edges(g, mode, threshold, require_type_match, max_bucket),
+    return banded.groupby("part").map_groups(
+        lambda g: _edges_from_banded_partition(
+            g, mode, threshold, require_type_match, max_bucket
+        ),
         batch_format="pyarrow",
     )
 

@@ -169,3 +169,66 @@ def test_distributed_components_random_graph(ray_session):
     a = canon.build_canonical_map(surf, et)
     b = canon.build_canonical_map_distributed(surf, et)
     assert a.sort_by("norm_surface").equals(b.sort_by("norm_surface"))
+
+
+def test_embedding_similarity_preferred_in_fuzzy_pass(ray_session):
+    """coalesce resolver semantics (resolver.rs:128-136): when BOTH surfaces
+    carry embeddings, the pair is scored by (cos+1)/2 INSTEAD of surface
+    similarity; one-sided/missing embeddings fall back to strings."""
+    import pyarrow as pa
+
+    def surf(embs):
+        return pa.table(
+            {
+                "entity_type": pa.array(["ORG", "ORG"]),
+                "norm_surface": pa.array(["acme corp alpha", "acme corp alpha x"]),
+                **({"embedding": pa.array(embs)} if embs is not None else {}),
+            }
+        )
+
+    def n_edges(tbl, threshold):
+        e = canon.fuzzy_edges(tbl, mode=canon.MODE_CDCR, threshold=threshold)
+        return e.num_rows
+
+    # strings alone: substring match -> sim 0.8 -> edge at 0.5
+    assert n_edges(surf(None), 0.5) == 1
+    # identical embeddings: sim 1.0 -> edge even at a threshold strings fail
+    same = [[1.0, 0.0], [1.0, 0.0]]
+    assert n_edges(surf(same), 0.9) == 1
+    # OPPOSITE embeddings: sim (cos+1)/2 = 0 -> overrides the 0.8 string sim
+    opposite = [[1.0, 0.0], [-1.0, 0.0]]
+    assert n_edges(surf(opposite), 0.5) == 0
+    # one side missing -> string fallback applies again
+    mixed = [[1.0, 0.0], None]
+    assert n_edges(surf(mixed), 0.5) == 1
+
+
+def test_embedding_scoring_in_distributed_band_path(ray_session):
+    """The banded-groupby (scale) path honors the same embedding preference."""
+    import pyarrow as pa
+    import ray.data
+
+    tbl = pa.table(
+        {
+            "entity_type": pa.array(["ORG", "ORG"]),
+            "norm_surface": pa.array(["acme corp alpha", "acme corp alpha x"]),
+            "embedding": pa.array([[1.0, 0.0], [-1.0, 0.0]]),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    e = canon.fuzzy_edges(ds, mode=canon.MODE_CDCR, threshold=0.5, max_task_surfaces=0)
+    assert e.count() == 0
+    tbl2 = tbl.set_column(2, "embedding", pa.array([[1.0, 0.0], [1.0, 0.0]]))
+    e2 = canon.fuzzy_edges(
+        ray.data.from_arrow(tbl2), mode=canon.MODE_CDCR, threshold=0.9,
+        max_task_surfaces=0,
+    )
+    # duplicate edges across bands/partitions are tolerated by design
+    # (union-find / min-label propagation are idempotent): count DISTINCT
+    import ray as _ray
+
+    t = pa.concat_tables([_ray.get(r) for r in e2.to_arrow_refs()])
+    pairs = set(
+        zip(t.column("surface_a").to_pylist(), t.column("surface_b").to_pylist())
+    )
+    assert pairs == {("acme corp alpha", "acme corp alpha x")}
