@@ -282,3 +282,62 @@ def test_sample_docs(docs_ds):
     a = sample_docs(docs_ds, 0.5, seed=1).to_pandas()
     b = sample_docs(docs_ds, 0.5, seed=1).to_pandas()
     assert list(a.doc_id) == list(b.doc_id)  # seeded -> deterministic
+
+
+# --- S3: URL resolver / CompositeResolver plugin chain -----------------------
+
+def test_file_resolver_html_sniffing(tmp_path):
+    from anno_ray.sources.url_resolver import CompositeResolver
+
+    html = tmp_path / "page.html"
+    html.write_text("<html><body><p>Hello &amp; world</p></body></html>")
+    txt = tmp_path / "doc.txt"
+    txt.write_text("plain text, no tags")
+
+    chain = CompositeResolver()
+    rc = chain.resolve(f"file://{html}")
+    assert rc.text == "Hello & world"  # byte-identical P1 extractor applied
+    assert rc.metadata["content-type"] == "text/html"
+    rc2 = chain.resolve(str(txt))  # bare path also resolves
+    assert rc2.text == "plain text, no tags"
+    assert rc2.metadata["content-type"] == "text/plain"
+
+
+def test_http_resolver_gated_and_composite_plugin():
+    import pytest
+
+    from anno_ray.sources.url_resolver import (
+        CallableResolver,
+        CompositeResolver,
+        ResolvedContent,
+    )
+
+    chain = CompositeResolver()
+    # network gate: actionable error, mirroring the reference feature gate
+    with pytest.raises(ValueError, match="network"):
+        chain.resolve("https://example.com/x")
+    with pytest.raises(ValueError, match="No resolver"):
+        chain.resolve("warc://crawl/abc")
+    # plugin hook: user scheme via add_resolver (2.11 extension surface)
+    chain.add_resolver(
+        CallableResolver(
+            lambda u: u.startswith("warc://"),
+            lambda u: ResolvedContent(text=f"from {u}", source_url=u),
+        )
+    )
+    assert chain.resolve("warc://crawl/abc").text == "from warc://crawl/abc"
+
+
+def test_resolve_urls_batch(ray_session, tmp_path):
+    import ray.data
+
+    from anno_ray.sources.url_resolver import resolve_urls
+
+    f1 = tmp_path / "a.html"
+    f1.write_text("<p>Alpha</p>")
+    f2 = tmp_path / "b.txt"
+    f2.write_text("Beta")
+    ds = ray.data.from_items([{"url": f"file://{f1}"}, {"url": str(f2)}])
+    out = {r["url"]: r for r in resolve_urls(ds).take_all()}
+    assert out[f"file://{f1}"]["text"] == "Alpha"
+    assert out[str(f2)]["content_type"] == "text/plain"
