@@ -114,6 +114,24 @@ def _band_rows(
 # broadcast sig dict to partitioned hash joins
 _VERIFY_BROADCAST_MAX = 500_000
 
+# per-worker-process cache of the broadcast signature dict: ray.get of a
+# plain dict deserializes per call, so cache it by object-ref hex once per
+# worker instead of once per bucket task
+_SIG_DICT_CACHE: dict[str, dict] = {}
+
+
+def _cached_sig_dict(sig_ref) -> dict:
+    import ray
+
+    key = sig_ref.hex()
+    hit = _SIG_DICT_CACHE.get(key)
+    if hit is None:
+        raw = ray.get(sig_ref)
+        hit = {k: np.frombuffer(v, dtype=np.uint64) for k, v in raw.items()}
+        _SIG_DICT_CACHE.clear()  # only ever one live broadcast per worker
+        _SIG_DICT_CACHE[key] = hit
+    return hit
+
 
 def minhash_lsh_pairs(
     ds,
@@ -131,6 +149,8 @@ def minhash_lsh_pairs(
     only — signatures do NOT ride the bucket shuffle) -> per-bucket candidate
     pairs -> pair dedup -> signature verification (broadcast sig dict below
     _VERIFY_BROADCAST_MAX docs, two narrow hash joins above)."""
+    import ray
+
     register_for_ray()
     sigs_ds = ds.map_batches(
         lambda b: _sig_table(b, text_col, id_col, num_bands, rows_per_band),
@@ -140,7 +160,66 @@ def minhash_lsh_pairs(
         lambda b: _band_rows(b, id_col, num_bands, rows_per_band),
         batch_format="pyarrow",
     )
+    n_docs = sigs_ds.count()
 
+    if n_docs <= _VERIFY_BROADCAST_MAX:
+        # verify INSIDE the buckets against a broadcast sig dict (cached once
+        # per worker process): sig bytes cross the shuffle ZERO times, and
+        # pairs are pruned before the dedup groupby
+        sig_ref = ray.put(
+            {
+                i: s
+                for t in (ray.get(r) for r in sigs_ds.to_arrow_refs())
+                for i, s in zip(t.column(id_col).to_pylist(), t.column("sig").to_pylist())
+            }
+        )
+
+        def bucket_pairs_verified(group: pa.Table) -> pa.Table:
+            sigs = _cached_sig_dict(sig_ref)
+            ids = group.column(id_col).to_pylist()
+            n = len(ids)
+            if n > max_bucket:
+                ids = sorted(ids)[:max_bucket]
+                n = max_bucket
+            a_out, b_out, sim_out = [], [], []
+            for i in range(n):
+                for j in range(i + 1, n):
+                    if ids[i] == ids[j]:
+                        continue
+                    sim = signature_similarity(
+                        list(sigs[ids[i]]), list(sigs[ids[j]])
+                    )
+                    if sim >= threshold:
+                        lo, hi = sorted((ids[i], ids[j]))
+                        a_out.append(lo)
+                        b_out.append(hi)
+                        sim_out.append(sim)
+            t = group.column(id_col).type
+            return pa.table(
+                {
+                    "id_a": pa.array(a_out, t),
+                    "id_b": pa.array(b_out, t),
+                    "est_jaccard": pa.array(sim_out, pa.float64()),
+                }
+            )
+
+        pairs = rows.groupby(["band", "band_hash"]).map_groups(
+            bucket_pairs_verified, batch_format="pyarrow"
+        )
+        from ray.data.aggregate import Max
+
+        out = pairs.groupby(["id_a", "id_b"]).aggregate(Max("est_jaccard"))
+        return out.map_batches(
+            lambda b: b.rename_columns(
+                [
+                    {"max(est_jaccard)": "est_jaccard"}.get(c, c)
+                    for c in b.column_names
+                ]
+            ),
+            batch_format="pyarrow",
+        )
+
+    # scale path: ids-only buckets -> pair dedup -> join-based verification
     def bucket_pairs(group: pa.Table) -> pa.Table:
         ids = group.column(id_col).to_pylist()
         n = len(ids)
@@ -169,45 +248,7 @@ def minhash_lsh_pairs(
         lambda b: b.select(["id_a", "id_b"]), batch_format="pyarrow"
     )
 
-    n_docs = sigs_ds.count()
-    if n_docs <= _VERIFY_BROADCAST_MAX:
-        import ray
-
-        sig_ref = ray.put(
-            {
-                i: s
-                for t in (ray.get(r) for r in sigs_ds.to_arrow_refs())
-                for i, s in zip(t.column(id_col).to_pylist(), t.column("sig").to_pylist())
-            }
-        )
-
-        class _Verify:
-            def __init__(self, ref):
-                self.sigs = {
-                    k: np.frombuffer(v, dtype=np.uint64)
-                    for k, v in ray.get(ref).items()
-                }
-
-            def __call__(self, b: pa.Table) -> pa.Table:
-                a_ids = b.column("id_a").to_pylist()
-                b_ids = b.column("id_b").to_pylist()
-                sims = [
-                    signature_similarity(
-                        list(self.sigs[a]), list(self.sigs[bb])
-                    )
-                    for a, bb in zip(a_ids, b_ids)
-                ]
-                out = b.append_column("est_jaccard", pa.array(sims, pa.float64()))
-                return out.filter(
-                    pc.greater_equal(out.column("est_jaccard"), threshold)
-                )
-
-        return uniq.map_batches(
-            _Verify, fn_constructor_args=(sig_ref,), batch_format="pyarrow",
-            concurrency=(1, 4),
-        )
-
-    # scale path: two narrow hash joins annotate each pair with its two sigs
+    # two narrow hash joins annotate each pair with its two sigs
     njoin = min(64, max(2, n_docs // 500_000 + 2))
     sig_a = sigs_ds.map_batches(
         lambda b: pa.table({"ja": b.column(id_col), "sig_a": b.column("sig")}),

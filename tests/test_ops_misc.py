@@ -341,3 +341,20 @@ def test_resolve_urls_batch(ray_session, tmp_path):
     out = {r["url"]: r for r in resolve_urls(ds).take_all()}
     assert out[f"file://{f1}"]["text"] == "Alpha"
     assert out[str(f2)]["content_type"] == "text/plain"
+
+
+def test_minhash_join_verify_path_matches_broadcast(ray_session, docs_ds):
+    """Above the broadcast threshold the join-based verification must produce
+    exactly the same pair set as the in-bucket broadcast path."""
+    import anno_ray.stages.dedup as dd
+
+    a = dd.minhash_lsh_pairs(docs_ds, threshold=0.5).to_pandas()
+    old = dd._VERIFY_BROADCAST_MAX
+    try:
+        dd._VERIFY_BROADCAST_MAX = 0  # force the join path
+        b = dd.minhash_lsh_pairs(docs_ds, threshold=0.5).to_pandas()
+    finally:
+        dd._VERIFY_BROADCAST_MAX = old
+    ka = sorted(zip(a.id_a, a.id_b, a.est_jaccard.round(9)))
+    kb = sorted(zip(b.id_a, b.id_b, b.est_jaccard.round(9)))
+    assert ka == kb and len(ka) > 0
