@@ -52,8 +52,9 @@ def _shard_pid(path: str) -> str:
 class ExtractShard:
     """Actor-pool task: one input parquet file -> one docs partition + manifest."""
 
-    def __init__(self, out_dir: str):
+    def __init__(self, out_dir: str, coref_strategy: str = "cli"):
         self.out_dir = out_dir
+        self.coref_strategy = coref_strategy
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.parquet as pq
@@ -68,7 +69,12 @@ class ExtractShard:
             n = table.num_rows
             step = 64
             for s in range(0, n, step):
-                out_parts.append(extract_batch(table.slice(s, min(step, n - s))))
+                out_parts.append(
+                    extract_batch(
+                        table.slice(s, min(step, n - s)),
+                        coref_strategy=self.coref_strategy,
+                    )
+                )
             docs = (
                 pa.concat_tables(out_parts)
                 if out_parts
@@ -84,6 +90,7 @@ class ExtractShard:
                     "pages": n,
                     "mentions": int(pc.sum(docs.column("n_mentions")).as_py() or 0),
                     "seconds": time.time() - t0,
+                    "coref_strategy": self.coref_strategy,
                 },
             )
             rows.append({"pid": pid, "pages": n})
@@ -96,7 +103,12 @@ class ExtractShard:
 
 
 def run_extract_stage(
-    pages_dir: str, out_dir: str, *, resume: bool = True, concurrency: int | None = None
+    pages_dir: str,
+    out_dir: str,
+    *,
+    resume: bool = True,
+    concurrency: int | None = None,
+    coref_strategy: str = "cli",
 ) -> dict:
     """Stage A. Returns stats including skipped (resumed) shard count."""
     import ray
@@ -109,7 +121,15 @@ def run_extract_stage(
         if f.endswith(".parquet")
     )
     if resume:
-        pending, skipped = mf.pending_inputs(out_dir, "docs", files, None)
+        # a completed shard only counts if it was extracted with the SAME
+        # coref strategy — otherwise resume would mix generations
+        done = mf.completed_partitions(out_dir, "docs")
+        done_inputs: set[str] = set()
+        for m in done.values():
+            if m.get("metrics", {}).get("coref_strategy", "cli") == coref_strategy:
+                done_inputs.update(m.get("inputs", []))
+        pending = [p for p in files if p not in done_inputs]
+        skipped = [p for p in files if p in done_inputs]
     else:
         pending, skipped = files, []
 
@@ -118,7 +138,7 @@ def run_extract_stage(
         shards = ray.data.from_items(items)
         res = shards.map_batches(
             ExtractShard,
-            fn_constructor_args=(out_dir,),
+            fn_constructor_args=(out_dir, coref_strategy),
             batch_size=1,
             batch_format="pyarrow",
             concurrency=concurrency or (2, 32),
@@ -847,9 +867,12 @@ def run_kg_pipeline(
     resume: bool = True,
     mode: str = canon.MODE_CDCR,
     max_driver_surfaces: int = DRIVER_SURFACE_MAX,
+    coref_strategy: str = "cli",
 ) -> dict:
     t0 = time.time()
-    s_extract = run_extract_stage(pages_dir, out_dir, resume=resume)
+    s_extract = run_extract_stage(
+        pages_dir, out_dir, resume=resume, coref_strategy=coref_strategy
+    )
     mapping = run_canonicalize_stage(
         out_dir, mode=mode, resume=resume, max_driver_surfaces=max_driver_surfaces
     )
@@ -879,6 +902,11 @@ def main() -> None:
     ap.add_argument("--mode", default=canon.MODE_CDCR, choices=[canon.MODE_CDCR, canon.MODE_COALESCE])
     ap.add_argument("--num-cpus", type=int, default=None)
     ap.add_argument(
+        "--coref", default="cli", choices=["cli", "simple"],
+        help="within-doc coref strategy: cli = C1 rule-based (reference "
+        "pipeline default), simple = C2 SimpleCorefResolver",
+    )
+    ap.add_argument(
         "--max-driver-surfaces", type=int, default=DRIVER_SURFACE_MAX,
         help="distinct-surface count above which the fully distributed "
         "canonicalize + join map-back path is used (set 0 to force it)",
@@ -894,6 +922,7 @@ def main() -> None:
     stats = run_kg_pipeline(
         args.pages, args.out, resume=not args.no_resume, mode=args.mode,
         max_driver_surfaces=args.max_driver_surfaces,
+        coref_strategy=args.coref,
     )
     print(json.dumps(stats))
     ray.shutdown()

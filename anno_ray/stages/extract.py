@@ -92,6 +92,7 @@ def extract_batch(
     lang_col: str = "lang",
     with_text: bool = False,
     alias_table: dict | None = None,
+    coref_strategy: str = "cli",
 ) -> pa.Table:
     """Kernel: one Arrow batch of pages -> one Arrow batch of doc results."""
     urls = batch.column(url_col).to_pylist()
@@ -120,7 +121,9 @@ def extract_batch(
 
     for url, html, lang in zip(urls, htmls, langs):
         raw = html.decode("utf-8", errors="replace") if isinstance(html, (bytes, bytearray)) else (html or "")
-        res = process_document(url, raw, alias_table=alias_table)
+        res = process_document(
+            url, raw, alias_table=alias_table, coref_strategy=coref_strategy
+        )
         doc_url.append(url)
         doc_lang.append(lang or "")
         doc_dlang.append(detect_language(res.text))
@@ -214,6 +217,7 @@ def extract_docs(
     lang_col: str = "lang",
     with_text: bool = False,
     alias_table: dict | None = None,
+    coref_strategy: str = "cli",
     batch_size: int = 64,
 ):
     """pages Dataset -> docs Dataset (narrow, html dropped)."""
@@ -228,6 +232,7 @@ def extract_docs(
         lang_col=lang_col,
         with_text=with_text,
         alias_table=alias_table,
+        coref_strategy=coref_strategy,
     )
     return pages.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
 

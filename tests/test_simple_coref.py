@@ -183,3 +183,25 @@ def test_process_document_simple_strategy():
     # default C1 strategy still the pipeline default (unchanged output shape)
     res_c1 = process_document("u", text, is_html=False)
     assert {m.text for m in res_c1.mentions} >= {"John Smith", "Smith"}
+
+
+def test_kg_pipeline_simple_coref_strategy(ray_session, tmp_path):
+    """The flagship pipeline runs end-to-end with --coref simple, and resume
+    refuses to mix docs partitions extracted under different strategies."""
+    import pyarrow.parquet as pq
+
+    from anno_ray.fixtures.pages import generate_pages_table
+    from anno_ray.pipelines.kg import run_extract_stage, run_kg_pipeline
+
+    d = tmp_path / "pages"
+    d.mkdir()
+    pq.write_table(generate_pages_table(0, 20, seed=3), str(d / "p0.parquet"))
+    out = str(tmp_path / "kg")
+    stats = run_kg_pipeline(str(d), out, resume=False, coref_strategy="simple")
+    assert stats["materialize"]["nodes"]["rows_written"] > 0
+    # resuming with the OTHER strategy must re-run the shard, not skip it
+    s2 = run_extract_stage(str(d), out, resume=True, coref_strategy="cli")
+    assert s2["shards_run"] == 1 and s2["shards_skipped"] == 0
+    # resuming with the same strategy skips
+    s3 = run_extract_stage(str(d), out, resume=True, coref_strategy="cli")
+    assert s3["shards_skipped"] == 1
