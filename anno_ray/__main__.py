@@ -179,10 +179,40 @@ def cmd_eval(args) -> int:
 
 
 def cmd_strata(args) -> int:
-    """Leiden communities over a kg output (the strata command)."""
+    """Leiden communities over a kg output (the strata command).
+
+    --distributed routes through the modularity-guided label-propagation
+    path (stages/communities.py) — the edge list never materializes on the
+    driver; the default driver Leiden matches the reference objective."""
     import duckdb
 
     from .core import leiden
+
+    if args.distributed:
+        import glob as _glob
+
+        import ray.data
+
+        from .stages.communities import communities_table, label_propagation
+
+        files = sorted(
+            _glob.glob(f"{args.kg}/edges/part=*/data.parquet")
+        )
+        ds = ray.data.read_parquet(files, columns=["subj_node", "obj_node"])
+        labels = label_propagation(
+            ds, src_col="subj_node", dst_col="obj_node",
+            resolution=args.resolution,
+        )
+        tbl = communities_table(labels)
+        from collections import Counter
+
+        comms = tbl.column("community").to_pylist()
+        sizes = Counter(comms)
+        print(
+            f"{len(sizes)} communities over {tbl.num_rows} nodes; "
+            f"largest: {sizes.most_common(5)}"
+        )
+        return 0
 
     con = duckdb.connect()
     edges = con.execute(
@@ -268,6 +298,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--resolution", type=float, default=1.0)
     p.add_argument("--levels", type=int, default=1)
     p.add_argument("--limit", type=int, default=20)
+    p.add_argument("--distributed", action="store_true",
+                   help="label-propagation scale path (edges stay distributed)")
     p.set_defaults(fn=cmd_strata)
 
     p = sub.add_parser("models", help="list available extractors")
