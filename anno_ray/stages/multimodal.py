@@ -159,3 +159,125 @@ def synthetic_media_table(n: int, seed: int = 42) -> pa.Table:
     return pa.table(
         {name: pa.array(rows[name], MEDIA_SCHEMA.field(name).type) for name in MEDIA_SCHEMA.names}
     )
+
+
+class ResizeImage:
+    """Image resize stage (actor pool): payload -> resized payload + dims.
+
+    Real impl plugs PIL/opencv into ``resize_impl`` (loaded once per actor);
+    the deterministic fake preserves aspect ratio against the fake-decoded
+    dims and emits a payload-hash-derived stand-in payload so downstream
+    schema/size behavior is exercised."""
+
+    def __init__(self, max_side: int = 256, fake: bool = False):
+        self.max_side = max_side
+        self.fake = fake
+        self._decoder = DecodeImage(fake=fake)
+
+    def resize_impl(self, payload: bytes) -> tuple[int, int, bytes]:
+        if not self.fake:
+            raise NotImplementedError(
+                "image resizing requires an image library not present in "
+                "this container; construct ResizeImage(fake=True)"
+            )
+        h, w, _c, _f = self._decoder.decode_impl(payload)
+        scale = min(1.0, self.max_side / max(h, w))
+        nh, nw = max(1, int(h * scale)), max(1, int(w * scale))
+        out = hashlib.blake2b(
+            payload + f"{nh}x{nw}".encode(), digest_size=32
+        ).digest()
+        return nh, nw, out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        hs, ws, outs = [], [], []
+        for p in payloads:
+            nh, nw, out = self.resize_impl(p or b"")
+            hs.append(nh); ws.append(nw); outs.append(out)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "height": pa.array(hs, pa.int32()),
+                "width": pa.array(ws, pa.int32()),
+                "payload": pa.array(outs, pa.binary()),
+            }
+        )
+
+
+def resize_images(
+    ds, *, max_side: int = 256, concurrency=(1, 4), batch_size: int = 8,
+    fake: bool = False,
+):
+    register_for_ray()
+    return ds.map_batches(
+        ResizeImage,
+        fn_constructor_kwargs={"max_side": max_side, "fake": fake},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+class AudioFeatures:
+    """Audio feature-extraction stage (actor pool): payload -> frame-level
+    MFCC-like vectors. Real impl loads the codec + feature extractor once per
+    actor; the deterministic fake derives duration from metadata and seeds
+    per-frame vectors from the payload hash."""
+
+    def __init__(self, n_mfcc: int = 13, hop_sec: float = 0.5, fake: bool = False):
+        self.n_mfcc = n_mfcc
+        self.hop_sec = hop_sec
+        self.fake = fake
+
+    def features_impl(self, payload: bytes, meta: str) -> list[np.ndarray]:
+        if not self.fake:
+            raise NotImplementedError(
+                "audio decoding requires an audio library not present in "
+                "this container; construct AudioFeatures(fake=True)"
+            )
+        import json
+
+        duration = float(json.loads(meta or "{}").get("duration_sec", 1.0))
+        n_frames = max(1, int(duration / self.hop_sec))
+        h = hashlib.blake2b(payload, digest_size=8).digest()
+        rng = np.random.RandomState(int.from_bytes(h[:4], "big"))
+        return [rng.randn(self.n_mfcc).astype(np.float32) for _ in range(n_frames)]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        metas = (
+            batch.column("meta").to_pylist()
+            if "meta" in batch.column_names
+            else [""] * len(ids)
+        )
+        out_id, out_frame, out_feat = [], [], []
+        for mid, p, meta in zip(ids, payloads, metas):
+            for k, feat in enumerate(self.features_impl(p or b"", meta)):
+                out_id.append(mid)
+                out_frame.append(k)
+                out_feat.append(feat.tolist())
+        return pa.table(
+            {
+                "media_id": pa.array(out_id, pa.int64()),
+                "frame_idx": pa.array(out_frame, pa.int64()),
+                "mfcc": pa.array(out_feat, pa.list_(pa.float32())),
+            }
+        )
+
+
+def audio_features(
+    ds, *, n_mfcc: int = 13, hop_sec: float = 0.5, concurrency=(1, 4),
+    batch_size: int = 8, fake: bool = False,
+):
+    register_for_ray()
+    return ds.map_batches(
+        AudioFeatures,
+        fn_constructor_kwargs={
+            "n_mfcc": n_mfcc, "hop_sec": hop_sec, "fake": fake,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -134,6 +134,13 @@ def _scaling_child(num_cpus: int, pages: str, out_dir: str) -> float:
     )
 
 
+def _burn(iters: int) -> int:
+    x = 0
+    for i in range(iters):
+        x ^= i
+    return x
+
+
 def _busy_loop_ceiling(n_workers: int, iters: int = 25_000_000) -> float:
     """Hardware parallel-capacity measurement: speedup of n_workers
     CPU-bound processes vs 1 (ideal = n_workers). Frequency scaling /
@@ -141,18 +148,12 @@ def _busy_loop_ceiling(n_workers: int, iters: int = 25_000_000) -> float:
     efficiency should be judged against THIS ceiling, not the ideal."""
     import multiprocessing as mp
 
-    def burn(_):
-        x = 0
-        for i in range(iters):
-            x ^= i
-        return x
-
     t0 = time.time()
-    burn(0)
+    _burn(iters)
     t1 = time.time() - t0
     with mp.get_context("spawn").Pool(n_workers) as pool:
         t0 = time.time()
-        pool.map(burn, range(n_workers))
+        pool.map(_burn, [iters] * n_workers)
         tn = time.time() - t0
     # n tasks of cost t1 finished in tn wall -> effective capacity n*t1/tn
     return n_workers * t1 / tn if tn else float(n_workers)

@@ -234,3 +234,47 @@ def test_actor_without_runtime_raises():
 
     with pytest.raises((NotImplementedError, ValueError)):
         ZeroShotNERActor(["person"], fake=False)
+
+
+def test_multimodal_resize_and_audio(ray_session):
+    import ray.data
+
+    from anno_ray.stages.multimodal import (
+        audio_features,
+        resize_images,
+        synthetic_media_table,
+    )
+
+    media = ray.data.from_arrow(synthetic_media_table(24))
+    resized = resize_images(media, max_side=128, fake=True).take_all()
+    assert len(resized) == 24
+    for r in resized:
+        assert max(r["height"], r["width"]) <= 128
+        assert isinstance(r["payload"], bytes) and len(r["payload"]) == 32
+
+    # audio: meta carries duration -> frame-level feature rows
+    import json
+
+    audio = ray.data.from_items(
+        [
+            {"media_id": 1, "payload": b"aaaa", "meta": json.dumps({"duration_sec": 2.0})},
+            {"media_id": 2, "payload": b"bbbb", "meta": json.dumps({"duration_sec": 0.4})},
+        ]
+    )
+    rows = audio_features(audio, hop_sec=0.5, fake=True).take_all()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], []).append(r)
+        assert len(r["mfcc"]) == 13
+    assert len(by_id[1]) == 4  # 2.0s / 0.5s hop
+    assert len(by_id[2]) == 1  # sub-hop clip still yields one frame
+
+    # strict mode raises the documented gate
+    import pytest
+
+    from anno_ray.stages.multimodal import AudioFeatures, ResizeImage
+
+    with pytest.raises(NotImplementedError):
+        ResizeImage(fake=False).resize_impl(b"x")
+    with pytest.raises(NotImplementedError):
+        AudioFeatures(fake=False).features_impl(b"x", "")
