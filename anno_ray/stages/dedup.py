@@ -323,16 +323,31 @@ def minhash_dedup_ids(ds, **kwargs):
 
 # --- simhash -----------------------------------------------------------------
 
+# per-worker token -> {-1,+1}^64 cache: corpus vocabulary repeats heavily, so
+# each distinct token is hashed once per worker process, not once per use
+_TOKEN_BITS_CACHE: dict[str, np.ndarray] = {}
+_TOKEN_BITS_CACHE_MAX = 1_000_000
+
+
+def _token_bits(tok: str) -> np.ndarray:
+    bits = _TOKEN_BITS_CACHE.get(tok)
+    if bits is None:
+        h = hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest()
+        bits = (
+            np.unpackbits(np.frombuffer(h, dtype=np.uint8)).astype(np.int8) * 2 - 1
+        )
+        if len(_TOKEN_BITS_CACHE) >= _TOKEN_BITS_CACHE_MAX:
+            _TOKEN_BITS_CACHE.clear()
+        _TOKEN_BITS_CACHE[tok] = bits
+    return bits
+
+
 def _simhash64(tokens: list[str]) -> int:
+    if not tokens:
+        return 0
     acc = np.zeros(64, dtype=np.int64)
     for tok in tokens:
-        h = int.from_bytes(
-            hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest(), "big"
-        )
-        bits = np.unpackbits(
-            np.frombuffer(h.to_bytes(8, "big"), dtype=np.uint8)
-        ).astype(np.int64)
-        acc += bits * 2 - 1
+        acc += _token_bits(tok)
     out = 0
     for i, v in enumerate(acc):
         if v > 0:
