@@ -707,6 +707,9 @@ def build_canonical_map_distributed(
             lambda b: pa.table({"k2": b.column("k"), "label2": b.column("label")}),
             batch_format="pyarrow",
         )
+        # no groupby needed after the jump: ``stepped`` has one row per k
+        # (groupby-min output) and ``as_lookup`` keys are unique, so the
+        # left-outer join yields exactly one row per k
         labels = (
             stepped.join(
                 as_lookup, join_type="left_outer", num_partitions=num_partitions,
@@ -724,9 +727,6 @@ def build_canonical_map_distributed(
                 ),
                 batch_format="pyarrow",
             )
-            .groupby("k")
-            .aggregate(Min("label"))
-            .map_batches(_rename_min, batch_format="pyarrow")
         ).materialize()
         new_sig = signature(labels)
         if new_sig == old_sig:
