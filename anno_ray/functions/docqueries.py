@@ -444,6 +444,96 @@ def eval_ner_modes(sf_dir: str):
     return pd.DataFrame(out)
 
 
+def coref_quality(sf_dir: str):
+    """Full coref-metric suite (B3, MUC, CEAFe, CEAFm, LEA, BLANC, CoNLL-F1)
+    comparing the C2 SimpleCorefResolver track partition against the C1
+    rule-based partition, per document, distributed.
+
+    Pattern: one map_batches pass runs BOTH resolvers per doc and emits one
+    metric row per (doc, metric); a Mean aggregate macro-averages across the
+    corpus. Deterministic (both resolvers are)."""
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Mean
+
+    def kernel(b: pa.Table) -> pa.Table:
+        from ..core.document import process_document
+        from ..functions.coref_metrics import (
+            b_cubed,
+            blanc,
+            ceaf_e,
+            ceaf_m,
+            conll_f1,
+            lea,
+            muc,
+        )
+
+        out_metric, out_val = [], []
+        for url, html in zip(
+            b.column("url").to_pylist(), b.column("html").to_pylist()
+        ):
+            raw = html.decode("utf-8", "replace") if isinstance(html, (bytes, bytearray)) else html
+            r1 = process_document(url, raw)  # C1
+            r2 = process_document(url, raw, coref_strategy="simple")  # C2
+
+            def chains(res):
+                by: dict[int, list] = {}
+                for m in res.mentions:
+                    if m.track_id >= 0:
+                        by.setdefault(m.track_id, []).append((m.start, m.end))
+                return [sorted(v) for v in sorted(by.values())]
+
+            c1, c2 = chains(r1), chains(r2)
+            a1 = {m: i for i, ch in enumerate(c1) for m in ch}
+            a2 = {m: i for i, ch in enumerate(c2) for m in ch}
+            vals = {
+                "b3_f1": b_cubed(a2, a1)[2],
+                "muc_f1": muc(a2, a1)[2],
+                "ceaf_e_f1": ceaf_e(c2, c1)[2],
+                "ceaf_m_f1": ceaf_m(c2, c1)[2],
+                "lea_f1": lea(c2, c1)[2],
+                "blanc_f1": blanc(c2, c1)[2],
+                "conll_f1": conll_f1(c2, c1),
+            }
+            for k, v in vals.items():
+                out_metric.append(k)
+                out_val.append(float(v))
+        return pa.table(
+            {
+                "metric": pa.array(out_metric, pa.string()),
+                "value": pa.array(out_val, pa.float64()),
+            }
+        )
+
+    pages = _synthetic_pages(sf_dir)
+    agg = (
+        pages.map_batches(kernel, batch_format="pyarrow", batch_size=32)
+        .groupby("metric")
+        .aggregate(Mean("value"))
+    )
+    tbl = pa.concat_tables(
+        [ray.get(r) for r in agg.to_arrow_refs()], promote_options="permissive"
+    )
+    rows = sorted(
+        zip(tbl.column("metric").to_pylist(), tbl.column("mean(value)").to_pylist())
+    )
+    return pd.DataFrame(
+        {
+            "metric": [r[0] for r in rows],
+            "macro_avg": [round(r[1], 6) for r in rows],
+        }
+    )
+
+
+def minhash_dedup_keep(sf_dir: str):
+    """Connected-component dedup decision list: (doc_id, keep_id) for every
+    doc in a near-dup cluster (rows-only)."""
+    from ..stages.dedup import minhash_dedup_ids
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_dedup_ids(ds, threshold=0.8)
+
+
 def kg_communities(sf_dir: str):
     """Communities over the canonical edge graph (strata C7).
 

@@ -237,3 +237,30 @@ def test_eval_ner_modes_query(ray_session):
     assert by_mode["partial"] >= by_mode["strict"]
     assert (df[["tp", "fp", "fn"]].to_numpy() >= 0).all()
     assert df["tp"].sum() > 0
+
+
+def test_coref_quality_query(ray_session):
+    from anno_ray.functions.docqueries import coref_quality
+
+    df = coref_quality("/root/testdata/sf0.001")
+    assert list(df["metric"]) == [
+        "b3_f1", "blanc_f1", "ceaf_e_f1", "ceaf_m_f1", "conll_f1", "lea_f1", "muc_f1",
+    ]
+    # C1 and C2 agree strongly but not perfectly (different fuzzy rules)
+    vals = dict(zip(df["metric"], df["macro_avg"]))
+    assert 0.5 < vals["conll_f1"] <= 1.0
+    assert all(0.0 <= v <= 1.0 for v in vals.values())
+    # deterministic
+    df2 = coref_quality("/root/testdata/sf0.001")
+    assert df.equals(df2)
+
+
+def test_minhash_dedup_keep_query(ray_session):
+    from anno_ray.functions.docqueries import minhash_dedup_keep
+
+    t = minhash_dedup_keep("/root/testdata/sf0.001")
+    ids = t.column("doc_id").to_pylist()
+    keeps = t.column("keep_id").to_pylist()
+    assert len(ids) > 0
+    assert all(k <= d for d, k in zip(ids, keeps))  # keep = min of cluster
+    assert set(keeps) <= set(ids)  # representatives are cluster members
