@@ -487,7 +487,16 @@ def _run_materialize_broadcast(out_dir: str, mapping: pa.Table) -> dict:
     boundary = sorted(
         f"coref_{cid}" for cid in set(mapping.column("canonical_id").to_pylist())
     )
-    n_parts = max(1, min(64, len(boundary) // 64 + 1))
+    # partition count scales with BOTH the id universe and the cluster: the
+    # merge tasks are the serial unit (per-partition total-order sort), so
+    # fewer partitions than cores leaves cores idle during phase 2
+    try:
+        import ray as _ray
+
+        ncpu = int(_ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        ncpu = 8
+    n_parts = max(1, min(64, len(boundary), max(len(boundary) // 64 + 1, ncpu)))
     cuts = boundaries_from_keys(boundary, n_parts)
 
     spill_dir = os.path.join(out_dir, "edges", "_spill")
