@@ -43,6 +43,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "union_names_count": rel.union_names_count,
         "customers_without_orders": rel.customers_without_orders,
         "events_sessionize": rel.events_sessionize,
+        "top_customer_per_nation": rel.top_customer_per_nation,
+        "lineitem_heavy_parts": rel.lineitem_heavy_parts,
         # --- documents/text operators (SQL-oracled) ---
         "docs_by_lang": dq.docs_by_lang,
         "doc_token_stats": dq.doc_token_stats,
@@ -152,6 +154,21 @@ def oracle_sql() -> dict[str, str]:
                     )
                 ) GROUP BY user_id, session_id
             ) GROUP BY user_id
+        """,
+        "top_customer_per_nation": """
+            SELECT n.n_name, c.c_custkey, c.c_name,
+                   ROUND(c.c_acctbal, 2) AS top_acctbal
+            FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY c.c_nationkey
+                ORDER BY c.c_acctbal DESC, c.c_custkey ASC
+            ) = 1
+        """,
+        "lineitem_heavy_parts": """
+            SELECT l_partkey, COUNT(*) AS n_lines,
+                   ROUND(SUM(l_quantity), 2) AS total_qty
+            FROM lineitem GROUP BY l_partkey
+            HAVING COUNT(*) >= 40
         """,
         "docs_by_lang": """
             SELECT lang, COUNT(*) AS n_docs,

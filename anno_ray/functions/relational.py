@@ -342,3 +342,69 @@ def events_sessionize(sf_dir: str, gap_minutes: int = 30):
         )
 
     return ds.groupby("user_id").map_groups(sessions, batch_format="pyarrow")
+
+
+def top_customer_per_nation(sf_dir: str):
+    """Argmax-per-group (window-function analog): the highest-acctbal
+    customer in each nation, ties broken by smallest custkey.
+
+    groupby(nation).map_groups with an in-group argmax — the Ray-native
+    ROW_NUMBER() OVER (PARTITION BY ... ORDER BY ...) = 1 pattern; the
+    nation-name annotation is a broadcast join (nation is tiny)."""
+    import ray
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
+    n_tbl = pa.concat_tables(
+        [ray.get(r) for r in nation.to_arrow_refs()], promote_options="permissive"
+    )
+    names = dict(
+        zip(n_tbl.column("n_nationkey").to_pylist(), n_tbl.column("n_name").to_pylist())
+    )
+    name_ref = ray.put(names)
+
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey", "c_acctbal"])
+
+    def pick(group: pa.Table) -> pa.Table:
+        import ray as _r
+
+        lookup = _r.get(name_ref)
+        bal = group.column("c_acctbal").to_pylist()
+        keys = group.column("c_custkey").to_pylist()
+        best = min(range(len(bal)), key=lambda i: (-bal[i], keys[i]))
+        nk = group.column("c_nationkey")[best].as_py()
+        return pa.table(
+            {
+                "n_name": pa.array([lookup.get(nk, "")], pa.string()),
+                "c_custkey": pa.array([keys[best]], pa.int64()),
+                "c_name": pa.array([group.column("c_name")[best].as_py()], pa.string()),
+                "top_acctbal": pa.array([round(float(bal[best]), 2)], pa.float64()),
+            }
+        )
+
+    return ds.groupby("c_nationkey").map_groups(pick, batch_format="pyarrow")
+
+
+def lineitem_heavy_parts(sf_dir: str, min_lines: int = 40):
+    """GROUP BY + HAVING: parts appearing on at least min_lines lineitems."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+    agg = ds.groupby("l_partkey").aggregate(Count(), Sum("l_quantity"))
+    agg = agg.map_batches(
+        _rename({"count()": "n_lines", "sum(l_quantity)": "total_qty"}),
+        batch_format="pyarrow",
+    )
+
+    def _having(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater_equal(b.column("n_lines"), min_lines))
+        return pa.table(
+            {
+                "l_partkey": b.column("l_partkey"),
+                "n_lines": b.column("n_lines"),
+                "total_qty": pc.round(
+                    pc.cast(b.column("total_qty"), pa.float64()), ndigits=2
+                ),
+            }
+        )
+
+    return agg.map_batches(_having, batch_format="pyarrow")
