@@ -4,15 +4,24 @@ Stages (all Ray Data, streaming):
 
   A. extract   — per input-file shards: read pages (column-pruned), run the
                  fused extract kernel, write ``out/docs/part=<k>`` + manifest.
-                 TRUE per-partition resume: completed shards are skipped.
+                 TRUE per-partition resume: completed shards are skipped
+                 (keyed by stable path-derived pids + coref strategy).
   B. canonical — mentions -> distinct surfaces (combiner + small groupby) ->
-                 LSH fuzzy edges -> union-find -> surface->canonical mapping
-                 (broadcast).
+                 LSH fuzzy edges -> components -> surface->canonical mapping.
+                 Below DRIVER_SURFACE_MAX distinct surfaces: single-task
+                 vectorized edge scoring + driver union-find (fastest at
+                 test/bench scale). Above: coarse-hash-partitioned banded
+                 groupby + distributed min-label propagation — the surface
+                 table never touches the driver.
   C. materialize — canonicalized nodes (dedup by node_id with count/min
-                 aggregation) and edges (triples with canonical endpoint ids),
-                 globally sorted, written as parquet + per-file manifests.
+                 aggregation) and edges (triples with canonical endpoint
+                 ids), globally sorted, written as parquet + fingerprinted
+                 per-partition manifests. Map-back is a broadcast dict below
+                 BROADCAST_MAP_MAX mapping entries, partitioned hash joins
+                 above.
 
-Run:  python -m anno_ray.pipelines.kg --pages <dir> --out <dir> [--resume]
+Run:  python -m anno_ray.pipelines.kg --pages <dir> --out <dir>
+      [--coref cli|simple] [--max-driver-surfaces N] [--no-resume]
 """
 
 from __future__ import annotations
