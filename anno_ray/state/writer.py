@@ -153,6 +153,14 @@ def write_sorted(
         concurrency=(1, pool_hi) if pool_hi >= 12 else (1, max(2, pool_hi - 1)),
     )
     total_in = sum(r["rows"] for r in spilled.take_all())
+    try:  # persist ds.stats() for the spill pass (observability)
+        os.makedirs(os.path.join(out_dir, stage), exist_ok=True)
+        with open(
+            os.path.join(out_dir, stage, "_ray_stats.txt"), "w", encoding="utf-8"
+        ) as f:
+            f.write(spilled.stats())
+    except Exception:
+        pass
 
     stats = merge_spilled(
         spill_dir, out_dir, stage,
