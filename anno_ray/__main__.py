@@ -237,6 +237,28 @@ def cmd_strata(args) -> int:
     return 0
 
 
+def cmd_debug(args) -> int:
+    """Entity-highlighted HTML debug page for one document (S7)."""
+    from .core.document import process_document
+    from .core.html_render import render_document_html
+
+    if args.file:
+        with open(args.file, encoding="utf-8", errors="replace") as f:
+            raw = f.read()
+        is_html = raw.lstrip().startswith("<")
+        res = process_document(args.file, raw, is_html=is_html)
+    else:
+        res = process_document("stdin", args.text or "", is_html=False)
+    page = render_document_html(res)
+    if args.out:
+        with open(args.out, "w", encoding="utf-8") as f:
+            f.write(page)
+        print(args.out)
+    else:
+        print(page)
+    return 0
+
+
 def cmd_models(_args) -> int:
     from .functions import registry
 
@@ -301,6 +323,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--distributed", action="store_true",
                    help="label-propagation scale path (edges stay distributed)")
     p.set_defaults(fn=cmd_strata)
+
+    p = sub.add_parser("debug", help="entity-highlighted HTML page for one doc")
+    p.add_argument("--text")
+    p.add_argument("--file")
+    p.add_argument("--out")
+    p.set_defaults(fn=cmd_debug)
 
     p = sub.add_parser("models", help="list available extractors")
     p.set_defaults(fn=cmd_models)

@@ -358,3 +358,50 @@ def test_minhash_join_verify_path_matches_broadcast(ray_session, docs_ds):
     ka = sorted(zip(a.id_a, a.id_b, a.est_jaccard.round(9)))
     kb = sorted(zip(b.id_a, b.id_b, b.est_jaccard.round(9)))
     assert ka == kb and len(ka) > 0
+
+
+# --- S7: HTML debug renderer -------------------------------------------------
+
+def test_render_document_html():
+    from anno_ray.core.document import process_document
+    from anno_ray.core.html_render import annotate_text_html, render_document_html
+
+    text = 'Dr. Smith founded Acme Corp in Berlin on Jan 5, 2020. "A<B" & more.'
+    res = process_document("u", text, is_html=False)
+    page = render_document_html(res, doc_id="doc-1")
+    assert page.startswith("<!DOCTYPE html>")
+    assert 'doc_id="doc-1"' in page
+    # escaping: raw < & " from the text never appear unescaped in the body
+    # (the capitalized "A<B" is itself detected as a mention, so the escaped
+    # pieces straddle its span)
+    assert "A&lt;B" in page and "&quot; &amp; more." in page
+    body = page[page.index("<body>"):]
+    import re as _re
+
+    stripped = _re.sub(r"<[^>]+>", "", body)
+    assert "<" not in stripped.replace("&lt;", "")
+    # each NER mention rendered with its css class + title metadata
+    assert 'class="e e-org"' in page and 'class="e e-loc"' in page
+    assert "signals (level 1)" in page and "tracks (level 2)" in page
+    # triples table carries the pair relations
+    assert "<h3>triples</h3>" in page
+
+    # nested/overlapping spans: longer-first wins, inner skipped (reference
+    # annotate_text_html semantics)
+    class M:
+        def __init__(self, s, e, label):
+            self.start, self.end, self.label, self.conf = s, e, label, 0.9
+
+    out = annotate_text_html("Acme Corp Inc", [M(0, 13, "ORG"), M(0, 9, "ORG")])
+    assert out.count("<span") == 1
+    assert ">Acme Corp Inc</span>" in out
+
+
+def test_debug_cli(tmp_path, capsys):
+    import anno_ray.__main__ as cli
+
+    out = tmp_path / "page.html"
+    rc = cli.main(["debug", "--text", "John Smith visited Paris.", "--out", str(out)])
+    assert rc == 0
+    page = out.read_text()
+    assert "e-per" in page or "e-loc" in page
