@@ -27,11 +27,15 @@ Ray-Data-native design (NOT the reference's all-pairs O(n^2)):
    and applied inside ``map_batches`` (broadcast hash join; no shuffle of the
    big table).
 
-Scale path: the edge list after LSH + threshold is O(distinct surfaces), and
-the union-find runs on compacted integer arrays; for corpora where even that
-exceeds driver memory, ``fuzzy_edges`` output is already a Dataset, and the
-merge can be swapped for iterated hash-join contraction without touching the
-other stages.
+Scale path (the DEFAULT above ``pipelines.kg.DRIVER_SURFACE_MAX`` distinct
+surfaces): ``fuzzy_edges`` switches to a coarse-hash-partitioned banded
+groupby (one shuffle, vectorized bucket scoring per partition), the merge to
+``build_canonical_map_distributed`` (min-label propagation + pointer
+doubling over Ray joins; the surface table never touches the driver), and
+the map-back to partitioned hash joins (pipelines/kg.py joined materialize).
+Pair scoring prefers embedding cosine when both surfaces carry an
+``embedding`` column (coalesce resolver semantics), with surface-similarity
+fallback. Proven at 10M distinct surfaces: tools/bench_scale_canonical.py.
 """
 
 from __future__ import annotations
