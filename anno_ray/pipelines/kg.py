@@ -807,7 +807,14 @@ def _run_materialize_joined(out_dir: str, mapping_ds) -> dict:
     mapping_ds = mapping_ds.materialize()
     n_map = mapping_ds.count()
     njoin = min(64, max(2, n_map // 100_000 + 2))
-    n_parts = min(256, max(8, n_map // 50_000 + 1))
+    try:
+        import ray as _ray
+
+        ncpu = int(_ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        ncpu = 8
+    # floor at the cluster CPU count: merge tasks are the phase-2 serial unit
+    n_parts = min(256, max(8, ncpu, n_map // 50_000 + 1))
     boundary = _boundary_sample(mapping_ds, n_map)
     lookup = _lookup_dataset(mapping_ds)
     fp = _materialize_fingerprint(out_dir, mapping_ds)
