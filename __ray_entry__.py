@@ -196,4 +196,63 @@ def oracle_sql() -> dict[str, str]:
             SELECT COUNT(*) AS n_docs FROM documents
             WHERE text LIKE '%table%'
         """,
+        # SQL re-statement of the reference lang.rs heuristic (script counts
+        # with weighted diacritics, earliest-index argmax, zh->ja kana
+        # reclassification); verified char-for-char vs core/lang.py
+        "lang_detect_distribution": r"""
+            WITH alpha AS (
+              SELECT regexp_replace(text, '[^\p{L}]', '', 'g') AS a
+              FROM documents
+            ), counts AS (
+              SELECT length(a) AS total,
+                length(regexp_replace(a, '[^a-zA-Z]', '', 'g')) AS c_en,
+                10 * length(regexp_replace(a, '[^ßäöüÄÖÜ]', '', 'g')) AS c_de,
+                5 * length(regexp_replace(a, '[^àâçéèêëîïôûù]', '', 'g')) AS c_fr,
+                5 * length(regexp_replace(a, '[^ñáíóú]', '', 'g')) AS c_es,
+                length(regexp_replace(a, '[^\x{0400}-\x{04FF}]', '', 'g')) AS c_ru,
+                length(regexp_replace(a, '[^\x{4E00}-\x{9FFF}]', '', 'g')) AS c_zh,
+                length(regexp_replace(a, '[^\x{3040}-\x{30FF}]', '', 'g')) AS c_ja,
+                length(regexp_replace(a, '[^\x{AC00}-\x{D7AF}]', '', 'g')) AS c_ko,
+                length(regexp_replace(a, '[^\x{0600}-\x{06FF}]', '', 'g')) AS c_ar,
+                length(regexp_replace(a, '[^\x{0590}-\x{05FF}]', '', 'g')) AS c_he
+              FROM alpha
+            ), langs AS (
+              SELECT CASE
+                WHEN total = 0 THEN 'en'
+                WHEN GREATEST(c_en,c_de,c_fr,c_es,c_ru,c_zh,c_ja,c_ko,c_ar,c_he) = 0 THEN 'en'
+                WHEN c_en = GREATEST(c_en,c_de,c_fr,c_es,c_ru,c_zh,c_ja,c_ko,c_ar,c_he) THEN 'en'
+                WHEN c_de = GREATEST(c_de,c_fr,c_es,c_ru,c_zh,c_ja,c_ko,c_ar,c_he) THEN 'de'
+                WHEN c_fr = GREATEST(c_fr,c_es,c_ru,c_zh,c_ja,c_ko,c_ar,c_he) THEN 'fr'
+                WHEN c_es = GREATEST(c_es,c_ru,c_zh,c_ja,c_ko,c_ar,c_he) THEN 'es'
+                WHEN c_ru = GREATEST(c_ru,c_zh,c_ja,c_ko,c_ar,c_he) THEN 'ru'
+                WHEN c_zh = GREATEST(c_zh,c_ja,c_ko,c_ar,c_he) THEN
+                     (CASE WHEN c_ja > 0 THEN 'ja' ELSE 'zh' END)
+                WHEN c_ja = GREATEST(c_ja,c_ko,c_ar,c_he) THEN 'ja'
+                WHEN c_ko = GREATEST(c_ko,c_ar,c_he) THEN 'ko'
+                WHEN c_ar = GREATEST(c_ar,c_he) THEN 'ar'
+                ELSE 'he'
+              END AS detected_lang
+              FROM counts
+            )
+            SELECT detected_lang, COUNT(*) AS n_docs
+            FROM langs GROUP BY detected_lang
+        """,
+        # 64-bit polynomial rolling hash over the whitespace-normalized
+        # utf-8 bytes (text_analysis.rolling_fingerprint), byte-exact:
+        # h <- (h * 1000003 + byte) mod 2^64 via HUGEINT intermediates
+        "doc_fingerprints": r"""
+            SELECT doc_id,
+              CASE WHEN octet_length(enc) = 0 THEN 0
+              ELSE CAST(list_reduce(
+                 list_transform(range(1, octet_length(enc) + 1),
+                    i -> CAST((strpos('0123456789ABCDEF', substr(hex(enc), 2*i - 1, 1)) - 1) * 16
+                            + (strpos('0123456789ABCDEF', substr(hex(enc), 2*i, 1)) - 1) AS HUGEINT)),
+                 (a, b) -> (a * 1000003 + b) % 18446744073709551616
+              ) AS UBIGINT) END AS fingerprint
+            FROM (
+              SELECT doc_id,
+                     encode(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS enc
+              FROM documents
+            )
+        """,
     }

@@ -385,33 +385,53 @@ def eval_ner_modes(sf_dir: str):
         batch_format="pyarrow",
     )
 
-    def _doc_counts(group: pa.Table) -> pa.Table:
-        rows = group.to_pylist()
-        g = [r for r in rows if r["src"] == "g"]
-        p = [r for r in rows if r["src"] == "p"]
-        # deterministic in-doc order (position-sorted, like the extractors)
-        g.sort(key=lambda r: (r["start"], r["end"], r["label"]))
-        p.sort(key=lambda r: (r["start"], r["end"], r["label"]))
-        out = {"mode": [], "tp": [], "fp": [], "fn": []}
-        for mode in MODES:
-            tp, fp, fn = mode_counts(p, g, mode)
-            out["mode"].append(mode)
-            out["tp"].append(tp)
-            out["fp"].append(fp)
-            out["fn"].append(fn)
+    # coarse hash partitioning (canonicalize.py idiom), NOT one Ray group per
+    # url: the per-doc matcher runs per url INSIDE each partition and the
+    # (tp, fp, fn) micro-sums commute, so wall time is partition-count-bound
+    # even at millions of documents
+    num_partitions = 256
+
+    def _part_col(b: pa.Table) -> pa.Table:
+        import zlib
+
+        parts = [
+            zlib.crc32(u.encode("utf-8")) % num_partitions
+            for u in b.column("url").to_pylist()
+        ]
+        return b.append_column("part", pa.array(parts, pa.int32()))
+
+    def _partition_counts(group: pa.Table) -> pa.Table:
+        from collections import defaultdict
+
+        by_url: dict[str, tuple[list, list]] = defaultdict(lambda: ([], []))
+        for r in group.to_pylist():
+            by_url[r["url"]][0 if r["src"] == "g" else 1].append(r)
+        totals = {mode: [0, 0, 0] for mode in MODES}
+        for url in by_url:
+            g, p = by_url[url]
+            # deterministic in-doc order (position-sorted, like the extractors)
+            g.sort(key=lambda r: (r["start"], r["end"], r["label"]))
+            p.sort(key=lambda r: (r["start"], r["end"], r["label"]))
+            for mode in MODES:
+                tp, fp, fn = mode_counts(p, g, mode)
+                acc = totals[mode]
+                acc[0] += tp
+                acc[1] += fp
+                acc[2] += fn
         return pa.table(
             {
-                "mode": pa.array(out["mode"], pa.string()),
-                "tp": pa.array(out["tp"], pa.int64()),
-                "fp": pa.array(out["fp"], pa.int64()),
-                "fn": pa.array(out["fn"], pa.int64()),
+                "mode": pa.array(list(MODES), pa.string()),
+                "tp": pa.array([totals[m][0] for m in MODES], pa.int64()),
+                "fp": pa.array([totals[m][1] for m in MODES], pa.int64()),
+                "fn": pa.array([totals[m][2] for m in MODES], pa.int64()),
             }
         )
 
     counts = (
         gold.union(pred)
-        .groupby("url")
-        .map_groups(_doc_counts, batch_format="pyarrow")
+        .map_batches(_part_col, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(_partition_counts, batch_format="pyarrow")
         .groupby("mode")
         .aggregate(Sum("tp"), Sum("fp"), Sum("fn"))
     )

@@ -311,46 +311,82 @@ def customers_without_orders(sf_dir: str):
     return pd.DataFrame({"n_customers": [n]})
 
 
-def events_sessionize(sf_dir: str, gap_minutes: int = 30):
+def events_sessionize(sf_dir: str, gap_minutes: int = 30, num_partitions: int = 256):
     """Stateful windowed aggregate: per-user sessions split on >gap idle.
 
-    groupby(user).map_groups with an in-group sort — the partitioning
-    assumption (all events of one user co-located) is exactly what the
-    shuffle provides; a streaming engine would keep per-key state instead.
-    Returns per-user session counts + max session length (deterministic).
+    NOT groupby(user).map_groups — one Ray group per user is pathological at
+    millions of users (per-group task overhead dominates). Instead the
+    COARSE-HASH-PARTITION idiom the canonicalize stage established
+    (canonicalize.py ``part = key % N``): one shuffle into a fixed number of
+    partitions that each co-locate complete users, then a fully vectorized
+    numpy lexsort + run-detection kernel computes every user's sessions in
+    one pass over the partition. Wall time is partition-count-, not
+    user-count-, bound. Returns per-user session counts + max session length
+    (deterministic).
     """
+    import numpy as np
+
     ds = _read(sf_dir, "events", ["user_id", "ts"])
     gap_us = gap_minutes * 60 * 1_000_000
 
-    def sessions(group: pa.Table) -> pa.Table:
-        import numpy as np
+    def _part(b: pa.Table) -> pa.Table:
+        uid = b.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.append_column(
+            "part", pa.array((uid % num_partitions).astype(np.int32), pa.int32())
+        )
 
-        uid = group.column("user_id")[0].as_py()
-        ts = np.sort(group.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]").astype("int64"))
-        if len(ts) == 0:
-            return pa.table({"user_id": pa.array([], pa.int64()),
-                             "n_sessions": pa.array([], pa.int64()),
-                             "max_session_events": pa.array([], pa.int64())})
-        breaks = np.flatnonzero(np.diff(ts) > gap_us)
-        sizes = np.diff(np.r_[0, breaks + 1, len(ts)])
+    def sessions_partition(group: pa.Table) -> pa.Table:
+        uid = group.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = (
+            group.column("ts")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype("int64")
+        )
+        if len(uid) == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "n_sessions": pa.array([], pa.int64()),
+                    "max_session_events": pa.array([], pa.int64()),
+                }
+            )
+        order = np.lexsort((ts, uid))
+        u, t = uid[order], ts[order]
+        new_user = np.r_[True, u[1:] != u[:-1]]
+        brk = new_user | np.r_[False, (t[1:] - t[:-1]) > gap_us]
+        starts = np.flatnonzero(brk)
+        sizes = np.diff(np.r_[starts, len(u)])
+        sess_user = u[starts]
+        ub = np.flatnonzero(np.r_[True, sess_user[1:] != sess_user[:-1]])
+        n_sessions = np.diff(np.r_[ub, len(sizes)])
+        max_events = np.maximum.reduceat(sizes, ub)
         return pa.table(
             {
-                "user_id": pa.array([uid], pa.int64()),
-                "n_sessions": pa.array([len(sizes)], pa.int64()),
-                "max_session_events": pa.array([int(sizes.max())], pa.int64()),
+                "user_id": pa.array(sess_user[ub], pa.int64()),
+                "n_sessions": pa.array(n_sessions, pa.int64()),
+                "max_session_events": pa.array(max_events.astype(np.int64), pa.int64()),
             }
         )
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pyarrow")
+    return (
+        ds.map_batches(_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(sessions_partition, batch_format="pyarrow")
+    )
 
 
-def top_customer_per_nation(sf_dir: str):
+def top_customer_per_nation(sf_dir: str, num_partitions: int = 256):
     """Argmax-per-group (window-function analog): the highest-acctbal
     customer in each nation, ties broken by smallest custkey.
 
-    groupby(nation).map_groups with an in-group argmax — the Ray-native
-    ROW_NUMBER() OVER (PARTITION BY ... ORDER BY ...) = 1 pattern; the
-    nation-name annotation is a broadcast join (nation is tiny)."""
+    ROW_NUMBER() OVER (PARTITION BY ... ORDER BY ...) = 1, Ray-native and
+    group-count-independent: a per-block COMBINER reduces each block to at
+    most one candidate row per nation before any shuffle, then a coarse-hash
+    partition (``key % N``, the canonicalize.py idiom — NOT one Ray group
+    per key) finishes the argmax with one vectorized lexsort per partition.
+    The nation-name annotation is a broadcast join (nation is tiny)."""
+    import numpy as np
     import ray
 
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
@@ -360,28 +396,52 @@ def top_customer_per_nation(sf_dir: str):
     names = dict(
         zip(n_tbl.column("n_nationkey").to_pylist(), n_tbl.column("n_name").to_pylist())
     )
-    name_ref = ray.put(names)
 
     ds = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey", "c_acctbal"])
 
-    def pick(group: pa.Table) -> pa.Table:
-        import ray as _r
+    def _best_rows(b: pa.Table, with_part: bool) -> pa.Table:
+        """Vectorized argmax per nation: lexsort by (nation, -bal, custkey),
+        keep each nation run's first row."""
+        nk = b.column("c_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(nk) == 0:
+            out = b.select(["c_nationkey", "c_custkey", "c_name", "c_acctbal"])
+            return out.append_column("part", pa.array([], pa.int32())) if with_part else out
+        bal = b.column("c_acctbal").to_numpy(zero_copy_only=False).astype(np.float64)
+        ck = b.column("c_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ck, -bal, nk))
+        snk = nk[order]
+        firsts = order[np.r_[True, snk[1:] != snk[:-1]]]
+        out = b.select(["c_nationkey", "c_custkey", "c_name", "c_acctbal"]).take(
+            pa.array(firsts)
+        )
+        if with_part:
+            out = out.append_column(
+                "part",
+                pa.array(
+                    (nk[firsts] % num_partitions).astype(np.int32), pa.int32()
+                ),
+            )
+        return out
 
-        lookup = _r.get(name_ref)
-        bal = group.column("c_acctbal").to_pylist()
-        keys = group.column("c_custkey").to_pylist()
-        best = min(range(len(bal)), key=lambda i: (-bal[i], keys[i]))
-        nk = group.column("c_nationkey")[best].as_py()
+    combined = ds.map_batches(
+        lambda b: _best_rows(b, True), batch_format="pyarrow"
+    )
+
+    def finish_pick(group: pa.Table) -> pa.Table:
+        best = _best_rows(group, False)
+        nks = best.column("c_nationkey").to_pylist()
         return pa.table(
             {
-                "n_name": pa.array([lookup.get(nk, "")], pa.string()),
-                "c_custkey": pa.array([keys[best]], pa.int64()),
-                "c_name": pa.array([group.column("c_name")[best].as_py()], pa.string()),
-                "top_acctbal": pa.array([round(float(bal[best]), 2)], pa.float64()),
+                "n_name": pa.array([names.get(nk, "") for nk in nks], pa.string()),
+                "c_custkey": best.column("c_custkey"),
+                "c_name": best.column("c_name"),
+                "top_acctbal": pc.round(
+                    pc.cast(best.column("c_acctbal"), pa.float64()), ndigits=2
+                ),
             }
         )
 
-    return ds.groupby("c_nationkey").map_groups(pick, batch_format="pyarrow")
+    return combined.groupby("part").map_groups(finish_pick, batch_format="pyarrow")
 
 
 def lineitem_heavy_parts(sf_dir: str, min_lines: int = 40):

@@ -794,10 +794,43 @@ def _edge_rows_post(batch: pa.Table) -> pa.Table:
     )
 
 
+_NODE_FAM_COLS = ["jk", "label", "norm_surface", "kb_id", "n", "first_seen"]
+_EDGE_FAM_COLS = [
+    "subj", "pred", "obj", "conf", "source", "url",
+    "subj_jk", "subj_lab", "subj_norm", "obj_jk", "obj_lab", "obj_norm",
+]
+
+
+def _fused_families(batch: pa.Table) -> pa.Table:
+    """ONE pass over a docs block -> union-schema table carrying BOTH spill
+    families: fam='n' rows are pre-aggregated node partials (mentions
+    explode), fam='e' rows are triples with endpoint join keys. Downstream
+    filters split the materialized combined Dataset, so the docs parquet is
+    read and exploded exactly once (the joined-path analog of the broadcast
+    path's FusedMaterialize side spills)."""
+    nodes = _node_partials(batch)
+    edges = _edge_rows_jk(batch)
+    all_cols = _NODE_FAM_COLS + _EDGE_FAM_COLS
+    types = {c: nodes.schema.field(c).type for c in _NODE_FAM_COLS}
+    types.update({c: edges.schema.field(c).type for c in _EDGE_FAM_COLS})
+
+    def pad(t: pa.Table, fam: str) -> pa.Table:
+        cols = {"fam": pa.array([fam] * t.num_rows, pa.string())}
+        for c in all_cols:
+            cols[c] = (
+                t.column(c) if c in t.column_names else pa.nulls(t.num_rows, types[c])
+            )
+        return pa.table(cols)
+
+    return pa.concat_tables([pad(nodes, "n"), pad(edges, "e")])
+
+
 def _run_materialize_joined(out_dir: str, mapping_ds) -> dict:
     """Partitioned hash-join map-back: no per-actor dict of the mapping, no
-    driver materialization of mapping or boundary set. Two passes over the
-    (column-pruned) docs parquet — one for nodes, one for edges — each joined
+    driver materialization of mapping or boundary set. ONE fused pass over
+    the (column-pruned) docs parquet emits both node partials and keyed
+    triples into a combined materialized Dataset (object-store resident,
+    spillable); the node and edge branches filter their family out and join
     against the mapping-derived lookup Dataset."""
     from ray.data.aggregate import Min, Sum
 
@@ -819,9 +852,13 @@ def _run_materialize_joined(out_dir: str, mapping_ds) -> dict:
     lookup = _lookup_dataset(mapping_ds)
     fp = _materialize_fingerprint(out_dir, mapping_ds)
 
+    docs = docs_dataset(out_dir, columns=["url", "mentions", "triples"])
+    combined = docs.map_batches(_fused_families, batch_format="pyarrow").materialize()
+
     # --- nodes ---
-    docs = docs_dataset(out_dir, columns=["url", "mentions"])
-    partials = docs.map_batches(_node_partials, batch_format="pyarrow")
+    partials = combined.filter(expr="fam == 'n'").map_batches(
+        lambda b: b.select(_NODE_FAM_COLS), batch_format="pyarrow"
+    )
     lookup_n = lookup.map_batches(
         lambda b: pa.table(
             {"njk": b.column("jk"), "m_cid": b.column("cid"), "m_cname": b.column("cname")}
@@ -852,8 +889,9 @@ def _run_materialize_joined(out_dir: str, mapping_ds) -> dict:
     )
 
     # --- edges ---
-    docs2 = docs_dataset(out_dir, columns=["url", "triples"])
-    trip = docs2.map_batches(_edge_rows_jk, batch_format="pyarrow")
+    trip = combined.filter(expr="fam == 'e'").map_batches(
+        lambda b: b.select(_EDGE_FAM_COLS), batch_format="pyarrow"
+    )
     lookup_s = lookup.map_batches(
         lambda b: pa.table({"sjk": b.column("jk"), "s_cid": b.column("cid")}),
         batch_format="pyarrow",

@@ -390,6 +390,159 @@ def _edges_from_surface_table(
     )
 
 
+# surface count above which the sub-threshold "one vectorized task" edge
+# pass fans out band- and bucket-chunk-parallel (identical output, pinned by
+# tests): a single serial task just under ``max_task_surfaces`` would be a
+# multi-minute one-core straggler while the cluster idles
+_BAND_TASK_MIN = 150_000
+
+
+def _edges_band_parallel(
+    surf_tbl: pa.Table,
+    mode: str,
+    threshold: float,
+    require_type_match: bool,
+    num_bands: int,
+    rows_per_band: int,
+    max_bucket: int,
+    *,
+    n_chunks: int | None = None,
+) -> pa.Table:
+    """Task-parallel version of ``_edges_from_surface_table`` with
+    byte-identical output: banding runs in row chunks, bucket scoring runs in
+    (band, chunk-of-buckets) tasks, and the driver concatenates results in
+    band/bucket order and dedups pairs across bands (within one band buckets
+    partition the surfaces, so no intra-band duplicates exist — the only
+    cross-task dedup needed is the cross-band one the single-task seen-set
+    performed)."""
+    import ray
+
+    n = surf_tbl.num_rows
+    if n_chunks is None:
+        try:
+            n_chunks = max(4, int(ray.cluster_resources().get("CPU", 8)) // num_bands)
+        except Exception:
+            n_chunks = 8
+    ref = ray.put(surf_tbl)
+
+    @ray.remote
+    def _band_chunk(t, start: int, count: int):
+        # ray auto-dereferences the ObjectRef arg: `t` IS the shared table
+        sigs = batch_signatures(
+            t.column("norm_surface").slice(start, count).to_pylist(),
+            num_bands, rows_per_band,
+        )
+        return batch_band_hashes(sigs, num_bands, rows_per_band)
+
+    step = max(20_000, n // (n_chunks * num_bands) + 1)
+    bands = np.vstack(
+        ray.get(
+            [_band_chunk.remote(ref, s, min(step, n - s)) for s in range(0, n, step)]
+        )
+    )
+
+    @ray.remote
+    def _score_runs(t, flat, run_starts):
+        types = t.column("entity_type").to_pylist()
+        surfaces = t.column("norm_surface").to_pylist()
+        embs = _embeddings_of(t)
+        sim = _pair_scorer(surfaces, embs, mode)
+        ea, eb, et_a, et_b = [], [], [], []
+        overflow = 0
+        bounds = list(run_starts) + [len(flat)]
+        for r in range(len(run_starts)):
+            members = flat[bounds[r]:bounds[r + 1]]
+            if len(members) > max_bucket:
+                overflow += len(members) - max_bucket
+                members = sorted(
+                    members, key=lambda i: (surfaces[i], types[i])
+                )[:max_bucket]
+            for x in range(len(members)):
+                i = members[x]
+                for y in range(x + 1, len(members)):
+                    j = members[y]
+                    if require_type_match and types[i] != types[j]:
+                        continue
+                    if surfaces[i] == surfaces[j]:
+                        continue
+                    if sim(i, j) >= threshold:
+                        ea.append(surfaces[i]); eb.append(surfaces[j])
+                        et_a.append(types[i]); et_b.append(types[j])
+        if overflow:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "LSH bucket overflow: %d surfaces dropped beyond cap %d",
+                overflow, max_bucket,
+            )
+        return pa.table(
+            {
+                "type_a": pa.array(et_a, pa.string()),
+                "surface_a": pa.array(ea, pa.string()),
+                "type_b": pa.array(et_b, pa.string()),
+                "surface_b": pa.array(eb, pa.string()),
+            }
+        )
+
+    futs = []
+    for band in range(num_bands):
+        col = bands[:, band]
+        order = np.argsort(col, kind="stable")
+        sorted_vals = col[order]
+        starts = np.flatnonzero(np.r_[True, sorted_vals[1:] != sorted_vals[:-1]])
+        ends = np.r_[starts[1:], len(sorted_vals)]
+        keep = (ends - starts) >= 2
+        starts, ends = starts[keep], ends[keep]
+        if not len(starts):
+            continue
+        # chunk the runs, balanced by pairwise cost, preserving run order
+        costs = (ends - starts).astype(np.float64) ** 2
+        cum = np.cumsum(costs)
+        per = cum[-1] / n_chunks
+        chunk_of_run = np.minimum((cum - 1e-9) // max(per, 1e-9), n_chunks - 1)
+        for c in range(n_chunks):
+            idx = np.flatnonzero(chunk_of_run == c)
+            if not len(idx):
+                continue
+            flat = np.concatenate([order[starts[r]:ends[r]] for r in idx])
+            run_starts = np.cumsum(
+                np.r_[0, (ends[idx] - starts[idx])[:-1]]
+            ).astype(np.int64)
+            futs.append(_score_runs.remote(ref, flat, run_starts))
+
+    parts = ray.get(futs)
+    # cross-band dedup must be orientation-free: a pair emits as (A, B) in
+    # one band's bucket and may emit as (B, A) in another's (member order is
+    # per-bucket), exactly like the single-task unordered (i, j) seen-set
+    seen: set[tuple] = set()
+    keep_tables = []
+    for t in parts:
+        if not t.num_rows:
+            continue
+        mask = []
+        for ta, sa, tb, sb in zip(
+            t.column("type_a").to_pylist(), t.column("surface_a").to_pylist(),
+            t.column("type_b").to_pylist(), t.column("surface_b").to_pylist(),
+        ):
+            key = ((ta, sa), (tb, sb)) if (sa, ta) <= (sb, tb) else ((tb, sb), (ta, sa))
+            if key in seen:
+                mask.append(False)
+            else:
+                seen.add(key)
+                mask.append(True)
+        keep_tables.append(t.filter(pa.array(mask, pa.bool_())))
+    if not keep_tables:
+        return pa.table(
+            {
+                "type_a": pa.array([], pa.string()),
+                "surface_a": pa.array([], pa.string()),
+                "type_b": pa.array([], pa.string()),
+                "surface_b": pa.array([], pa.string()),
+            }
+        )
+    return pa.concat_tables(keep_tables)
+
+
 def fuzzy_edges(
     surfaces_ds,
     *,
@@ -400,13 +553,17 @@ def fuzzy_edges(
     rows_per_band: int = 3,
     max_bucket: int = 256,
     max_task_surfaces: int = 2_000_000,
+    band_task_min: int = _BAND_TASK_MIN,
 ):
     """Distinct surfaces -> similarity edges via LSH buckets.
 
-    Distinct-surface tables up to ``max_task_surfaces`` are scored in ONE
+    Distinct-surface tables up to ``band_task_min`` are scored in ONE
     vectorized Ray task (per-group task overhead would otherwise dominate:
-    LSH buckets are tiny). Beyond that, the fully distributed band-groupby
-    path takes over.
+    LSH buckets are tiny); between ``band_task_min`` and
+    ``max_task_surfaces`` the same computation fans out band- and
+    bucket-chunk-parallel with byte-identical output (no one-core straggler
+    just under the dispatch point). Beyond that, the fully distributed
+    band-groupby path takes over.
     """
     import ray
 
@@ -425,6 +582,11 @@ def fuzzy_edges(
         surf_tbl = _to_table(
             surfaces_ds, ["entity_type", "norm_surface", "embedding"]
         )
+        if n_surfaces > band_task_min:
+            return _edges_band_parallel(
+                surf_tbl, mode, threshold, require_type_match,
+                num_bands, rows_per_band, max_bucket,
+            )
 
         @ray.remote
         def _task(tbl):
@@ -627,12 +789,11 @@ def build_canonical_map_distributed(
     surface count (the default pa.Table return is for sub-threshold callers
     and tests).
     """
+    from .components import min_label_components
+
     register_for_ray()
     surfaces_ds = _as_dataset(surfaces)
     edges_ds = _as_dataset(edges)
-    if num_partitions is None:
-        n_surf = surfaces_ds.count()
-        num_partitions = min(64, max(2, n_surf // 100_000 + 2))
 
     def _label_rows(b: pa.Table) -> pa.Table:
         ks = [
@@ -645,9 +806,7 @@ def build_canonical_map_distributed(
         arr = pa.array(ks, pa.string())
         return pa.table({"k": arr, "label": arr})
 
-    labels = surfaces_ds.map_batches(
-        _label_rows, batch_format="pyarrow"
-    ).materialize()
+    labels = surfaces_ds.map_batches(_label_rows, batch_format="pyarrow")
 
     def _sym_rows(b: pa.Table) -> pa.Table:
         ka = [
@@ -669,73 +828,10 @@ def build_canonical_map_distributed(
             }
         )
 
-    sym = edges_ds.map_batches(_sym_rows, batch_format="pyarrow").materialize()
-
-    from ray.data.aggregate import Min
-
-    def _rename_min(b: pa.Table) -> pa.Table:
-        return b.rename_columns(
-            [{"min(label)": "label"}.get(c, c) for c in b.column_names]
-        )
-
-    def _sig_batch(b: pa.Table) -> pa.Table:
-        import hashlib as _h
-
-        acc = 0
-        for k, lab in zip(b.column("k").to_pylist(), b.column("label").to_pylist()):
-            d = _h.blake2b(f"{k}\x00{lab}".encode("utf-8"), digest_size=8).digest()
-            acc = (acc + int.from_bytes(d, "big")) & ((1 << 64) - 1)
-        return pa.table({"sig": pa.array([acc], pa.uint64())})
-
-    def signature(ds_):
-        return sum(
-            r["sig"] for r in ds_.map_batches(_sig_batch, batch_format="pyarrow").take_all()
-        ) & ((1 << 64) - 1)
-
-    old_sig = signature(labels)
-    for _ in range(max_iters):
-        # neighbor min propagation
-        prop = sym.join(
-            labels, join_type="inner", num_partitions=num_partitions,
-            on=("src",), right_on=("k",),
-        ).map_batches(
-            lambda b: pa.table({"k": b.column("dst"), "label": b.column("label")}),
-            batch_format="pyarrow",
-        )
-        stepped = (
-            labels.union(prop).groupby("k").aggregate(Min("label"))
-            .map_batches(_rename_min, batch_format="pyarrow")
-        ).materialize()
-        # pointer doubling: label <- label(label) (O(log diameter) rounds)
-        as_lookup = stepped.map_batches(
-            lambda b: pa.table({"k2": b.column("k"), "label2": b.column("label")}),
-            batch_format="pyarrow",
-        )
-        # no groupby needed after the jump: ``stepped`` has one row per k
-        # (groupby-min output) and ``as_lookup`` keys are unique, so the
-        # left-outer join yields exactly one row per k
-        labels = (
-            stepped.join(
-                as_lookup, join_type="left_outer", num_partitions=num_partitions,
-                on=("label",), right_on=("k2",),
-            )
-            .map_batches(
-                lambda b: pa.table(
-                    {
-                        "k": b.column("k"),
-                        "label": pc.coalesce(
-                            pc.min_element_wise(b.column("label"), b.column("label2")),
-                            b.column("label"),
-                        ),
-                    }
-                ),
-                batch_format="pyarrow",
-            )
-        ).materialize()
-        new_sig = signature(labels)
-        if new_sig == old_sig:
-            break
-        old_sig = new_sig
+    sym = edges_ds.map_batches(_sym_rows, batch_format="pyarrow")
+    labels = min_label_components(
+        labels, sym, max_iters=max_iters, num_partitions=num_partitions
+    )
 
     def _mapping_rows(b: pa.Table) -> pa.Table:
         types_out, surfaces_out, cids, cnames = [], [], [], []

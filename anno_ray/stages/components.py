@@ -1,0 +1,181 @@
+"""Generic distributed connected components over Ray Data.
+
+Min-label propagation + pointer doubling: per round every node takes the min
+label over itself and its neighbors, then one pointer jump
+``label <- label(label)`` halves the remaining chain depth, so the loop
+converges in O(log diameter) rounds. Each round is two hash joins plus a
+groupby-min over narrow (k, label) pairs — no driver-side union-find, no
+driver materialization of nodes or edges (the web-scale replacement for
+``core.unionfind``; reference merge semantics:
+/root/reference/coalesce/src/resolver.rs:161-217 union-find, re-expressed as
+a Ray Data fixpoint).
+
+Used by ``stages.canonicalize.build_canonical_map_distributed`` (keys =
+"type\\x00surface" strings) and ``stages.dedup.minhash_dedup_ids`` (keys =
+doc ids). Labels converge to the MIN key of each component under the key
+type's natural order, which is exactly the deterministic representative both
+callers want.
+
+Convergence detection is a vectorized order-independent signature of the
+(k, label) multiset (pandas siphash per row, wrap-sum): one cheap scan of
+the already-materialized label Dataset per round, instead of the per-row
+Python blake2b pass this replaced (which dominated the 10M-key benchmark).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..ray_utils import register_for_ray
+
+
+def _sig_batch(b: pa.Table) -> pa.Table:
+    """Order-independent per-block signature of (k, label): vectorized
+    64-bit row hashes (deterministic keyed siphash), wrap-summed."""
+    import pandas as pd
+
+    if b.num_rows == 0:
+        return pa.table({"sig": pa.array([0], pa.uint64())})
+    df = b.select(["k", "label"]).to_pandas()
+    h = pd.util.hash_pandas_object(df, index=False).to_numpy(dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        acc = int(np.sum(h, dtype=np.uint64))
+    return pa.table({"sig": pa.array([acc], pa.uint64())})
+
+
+def _signature(labels_ds) -> int:
+    total = 0
+    for r in labels_ds.map_batches(_sig_batch, batch_format="pyarrow").take_all():
+        total = (total + int(r["sig"])) & ((1 << 64) - 1)
+    return total
+
+
+def min_label_components(
+    labels,
+    sym_edges,
+    *,
+    max_iters: int = 32,
+    num_partitions: int | None = None,
+):
+    """Fixpoint of min-label propagation over an undirected graph.
+
+    Args:
+        labels: Dataset with columns (k, label) — one row per node, label
+            initialized to k (any orderable Arrow type, consistent across
+            both inputs).
+        sym_edges: Dataset with columns (src, dst) containing BOTH directions
+            of every edge.
+        num_partitions: hash-join partition count; derived from the node
+            count when omitted.
+
+    Returns the converged labels Dataset (k, label): label = min key of k's
+    component.
+    """
+    register_for_ray()
+    from ray.data.aggregate import Min
+
+    labels = labels.materialize()
+    sym = sym_edges.materialize()
+    if num_partitions is None:
+        n = labels.count()
+        num_partitions = min(64, max(2, n // 100_000 + 2))
+
+    def _rename_min(b: pa.Table) -> pa.Table:
+        return b.rename_columns(
+            [{"min(label)": "label"}.get(c, c) for c in b.column_names]
+        )
+
+    old_sig = _signature(labels)
+    for _ in range(max_iters):
+        # neighbor min propagation: each edge endpoint offers its label to
+        # the other side; groupby-min merges offers with the node's own label
+        prop = sym.join(
+            labels, join_type="inner", num_partitions=num_partitions,
+            on=("src",), right_on=("k",),
+        ).map_batches(
+            lambda b: pa.table({"k": b.column("dst"), "label": b.column("label")}),
+            batch_format="pyarrow",
+        )
+        stepped = (
+            labels.union(prop).groupby("k").aggregate(Min("label"))
+            .map_batches(_rename_min, batch_format="pyarrow")
+        ).materialize()
+        # pointer doubling: label <- label(label). `stepped` has one row per
+        # k (groupby output) and lookup keys are unique, so the left-outer
+        # join yields exactly one row per k — no post-join groupby needed.
+        as_lookup = stepped.map_batches(
+            lambda b: pa.table({"k2": b.column("k"), "label2": b.column("label")}),
+            batch_format="pyarrow",
+        )
+        labels = (
+            stepped.join(
+                as_lookup, join_type="left_outer", num_partitions=num_partitions,
+                on=("label",), right_on=("k2",),
+            )
+            .map_batches(
+                lambda b: pa.table(
+                    {
+                        "k": b.column("k"),
+                        "label": pc.coalesce(
+                            pc.min_element_wise(b.column("label"), b.column("label2")),
+                            b.column("label"),
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+        ).materialize()
+        new_sig = _signature(labels)
+        if new_sig == old_sig:
+            break
+        old_sig = new_sig
+    return labels
+
+
+def components_from_pairs(
+    pairs_ds,
+    *,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 32,
+    num_partitions: int | None = None,
+):
+    """Connected components directly from an (id_a, id_b) pair Dataset.
+
+    Nodes are the distinct ids touched by any pair (isolated docs are not
+    emitted — matching the driver union-find in ``dedup.minhash_dedup_ids``).
+    Returns a Dataset (k, label) with label = min id of the component.
+    """
+    register_for_ray()
+    pairs_ds = pairs_ds.materialize()
+
+    def _sym(b: pa.Table) -> pa.Table:
+        a = b.column(id_a).combine_chunks()
+        c = b.column(id_b).combine_chunks()
+        return pa.table(
+            {
+                "src": pa.chunked_array([a, c]),
+                "dst": pa.chunked_array([c, a]),
+            }
+        )
+
+    sym = pairs_ds.map_batches(_sym, batch_format="pyarrow")
+
+    def _node_block(b: pa.Table) -> pa.Table:
+        u = pc.unique(b.column("src"))
+        return pa.table({"k": u})
+
+    nodes = (
+        sym.map_batches(_node_block, batch_format="pyarrow")
+        .groupby("k")
+        .count()
+        .map_batches(
+            lambda b: pa.table({"k": b.column("k"), "label": b.column("k")}),
+            batch_format="pyarrow",
+        )
+    )
+    return min_label_components(
+        nodes, sym, max_iters=max_iters, num_partitions=num_partitions
+    )

@@ -286,13 +286,44 @@ def minhash_lsh_pairs(
     return j.map_batches(_score, batch_format="pyarrow")
 
 
-def minhash_dedup_ids(ds, **kwargs):
-    """Cluster near-dup pairs (connected components) -> (doc_id, keep_id)."""
+# verified-pair count above which the connected-component clustering runs
+# as distributed min-label propagation instead of a driver union-find: the
+# pair list scales with the corpus DUPLICATION DENSITY, not its row count,
+# so a dup-heavy crawl makes it corpus-sized
+_CC_DRIVER_MAX_PAIRS = 500_000
+
+
+def minhash_dedup_ids(
+    ds, *, max_driver_pairs: int = _CC_DRIVER_MAX_PAIRS, **kwargs
+):
+    """Cluster near-dup pairs (connected components) -> (doc_id, keep_id).
+
+    Below ``max_driver_pairs`` verified pairs: driver union-find over the
+    collected pair list (returns a sorted pa.Table). Above: distributed
+    min-label propagation + pointer doubling (stages/components.py — the
+    same machinery proven at 10M keys for surface canonicalization);
+    returns a Dataset of (doc_id, keep_id) and the pair list never touches
+    the driver. keep_id = min doc id per component on BOTH paths (min-label
+    propagation converges to exactly the min id), pinned equal by tests.
+    """
     import ray
 
     from ..core.unionfind import UnionFind
 
     pairs_ds = minhash_lsh_pairs(ds, **kwargs)
+    if not isinstance(pairs_ds, pa.Table):
+        pairs_ds = pairs_ds.materialize()
+        n_pairs = pairs_ds.count()
+        if n_pairs > max_driver_pairs:
+            from .components import components_from_pairs
+
+            labels = components_from_pairs(pairs_ds, id_a="id_a", id_b="id_b")
+            return labels.map_batches(
+                lambda b: pa.table(
+                    {"doc_id": b.column("k"), "keep_id": b.column("label")}
+                ),
+                batch_format="pyarrow",
+            )
     tbl = pa.concat_tables(
         [ray.get(r) for r in pairs_ds.to_arrow_refs()], promote_options="permissive"
     )
@@ -448,19 +479,81 @@ def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
     return len(sa & sb) / union if union else 0.0
 
 
-def verify_pairs_ngram_jaccard(
-    ds, pairs, *, text_col: str = "text", id_col: str = "doc_id", n: int = 3
-):
-    """Join candidate pairs back to texts (broadcast) and score exactly.
+# candidate-pair count above which exact-ngram verification switches from a
+# broadcast text dict to partitioned hash joins: with dense candidates the
+# touched-text set approaches the corpus and must not live on the driver
+_NGRAM_BROADCAST_MAX = 100_000
 
-    ``pairs`` is a small table/Dataset of (id_a, id_b); texts are broadcast
-    as a dict — suitable when the candidate-touched docs fit in memory, which
-    LSH guarantees for reasonable thresholds (else shard by id range).
+
+def verify_pairs_ngram_jaccard(
+    ds,
+    pairs,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_broadcast_pairs: int = _NGRAM_BROADCAST_MAX,
+):
+    """Join candidate pairs back to texts and score exact n-gram Jaccard.
+
+    ``pairs`` is a table/Dataset of (id_a, id_b). Below
+    ``max_broadcast_pairs`` the candidate-touched texts are gathered into one
+    broadcast dict (fast at fixture scale; returns pa.Table). Above, the
+    texts are attached via two partitioned hash joins against the docs table
+    — the same shape as the minhash join-verify scale path — and a Dataset
+    comes back; no driver text dict is ever built.
     """
     import ray
 
     register_for_ray()
-    if not isinstance(pairs, pa.Table):
+    pairs_is_table = isinstance(pairs, pa.Table)
+    n_pairs = pairs.num_rows if pairs_is_table else pairs.materialize().count()
+
+    if n_pairs > max_broadcast_pairs:
+        import ray.data
+
+        pairs_ds = ray.data.from_arrow(pairs) if pairs_is_table else pairs
+        docs = ds.map_batches(
+            lambda b: pa.table(
+                {id_col: b.column(id_col), text_col: b.column(text_col)}
+            ),
+            batch_format="pyarrow",
+        )
+        njoin = min(64, max(2, n_pairs // 100_000 + 2))
+        txt_a = docs.map_batches(
+            lambda b: pa.table({"ja": b.column(id_col), "text_a": b.column(text_col)}),
+            batch_format="pyarrow",
+        )
+        txt_b = docs.map_batches(
+            lambda b: pa.table({"jb": b.column(id_col), "text_b": b.column(text_col)}),
+            batch_format="pyarrow",
+        )
+        j = pairs_ds.join(
+            txt_a, join_type="inner", num_partitions=njoin,
+            on=("id_a",), right_on=("ja",),
+        ).join(
+            txt_b, join_type="inner", num_partitions=njoin,
+            on=("id_b",), right_on=("jb",),
+        )
+
+        def _score(b: pa.Table) -> pa.Table:
+            sims = [
+                ngram_jaccard(ta or "", tb or "", n)
+                for ta, tb in zip(
+                    b.column("text_a").to_pylist(), b.column("text_b").to_pylist()
+                )
+            ]
+            return pa.table(
+                {
+                    "id_a": b.column("id_a"),
+                    "id_b": b.column("id_b"),
+                    "jaccard": pa.array(sims, pa.float64()),
+                }
+            )
+
+        return j.map_batches(_score, batch_format="pyarrow")
+
+    if not pairs_is_table:
         pairs = pa.concat_tables(
             [ray.get(r) for r in pairs.to_arrow_refs()], promote_options="permissive"
         )

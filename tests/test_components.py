@@ -1,0 +1,196 @@
+"""Generic distributed connected components (stages/components.py):
+equality against the driver union-find, and the minhash-dedup forced-path
+equality the round-2 verdict asked for (pairs no longer collected to the
+driver above the threshold)."""
+
+from __future__ import annotations
+
+import random
+
+import pyarrow as pa
+import pytest
+
+
+def _driver_components(pairs: list[tuple], nodes: list) -> dict:
+    from anno_ray.core.unionfind import UnionFind
+
+    idx = {n: i for i, n in enumerate(nodes)}
+    uf = UnionFind(len(nodes))
+    for a, b in pairs:
+        uf.union(idx[a], idx[b])
+    rep: dict[int, object] = {}
+    for n in nodes:
+        r = uf.find(idx[n])
+        if r not in rep or n < rep[r]:
+            rep[r] = n
+    return {n: rep[uf.find(idx[n])] for n in nodes}
+
+
+@pytest.mark.parametrize("seed,n_nodes,n_edges", [(1, 200, 150), (7, 500, 700)])
+def test_components_from_pairs_matches_unionfind_int(ray_session, seed, n_nodes, n_edges):
+    import ray.data
+
+    from anno_ray.stages.components import components_from_pairs
+
+    rng = random.Random(seed)
+    pairs = [
+        tuple(sorted(rng.sample(range(n_nodes), 2))) for _ in range(n_edges)
+    ]
+    touched = sorted({x for p in pairs for x in p})
+    expect = _driver_components(pairs, touched)
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "id_a": pa.array([p[0] for p in pairs], pa.int64()),
+                "id_b": pa.array([p[1] for p in pairs], pa.int64()),
+            }
+        )
+    )
+    out = components_from_pairs(ds).to_pandas()
+    got = dict(zip(out["k"], out["label"]))
+    assert got == expect
+
+
+def test_components_from_pairs_matches_unionfind_str(ray_session):
+    import ray.data
+
+    from anno_ray.stages.components import components_from_pairs
+
+    rng = random.Random(3)
+    names = [f"doc_{i:04d}" for i in range(300)]
+    pairs = [tuple(sorted(rng.sample(names, 2))) for _ in range(250)]
+    touched = sorted({x for p in pairs for x in p})
+    expect = _driver_components(pairs, touched)
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "id_a": pa.array([p[0] for p in pairs], pa.string()),
+                "id_b": pa.array([p[1] for p in pairs], pa.string()),
+            }
+        )
+    )
+    out = components_from_pairs(ds).to_pandas()
+    assert dict(zip(out["k"], out["label"])) == expect
+
+
+def test_chain_converges_log_rounds(ray_session):
+    """A long path graph exercises pointer doubling (diameter >> rounds)."""
+    import ray.data
+
+    from anno_ray.stages.components import components_from_pairs
+
+    n = 400
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "id_a": pa.array(list(range(n - 1)), pa.int64()),
+                "id_b": pa.array(list(range(1, n)), pa.int64()),
+            }
+        )
+    )
+    out = components_from_pairs(ds).to_pandas()
+    assert len(out) == n
+    assert set(out["label"]) == {0}
+
+
+@pytest.fixture(scope="module")
+def dup_heavy_docs(ray_session):
+    """Corpus where most docs sit in near-dup clusters (chained variants, so
+    components are larger than single LSH buckets)."""
+    import ray.data
+
+    rng = random.Random(11)
+    words = [f"w{i}" for i in range(120)]
+    texts, ids = [], []
+    doc = 0
+    for fam in range(25):
+        base = " ".join(rng.choices(words, k=60))
+        toks = base.split()
+        for v in range(6):
+            t = list(toks)
+            # chain: variant v mutates v tokens -> adjacent variants overlap
+            for m in range(v):
+                t[(fam + m * 7) % len(t)] = f"mut{fam}_{m}"
+            texts.append(" ".join(t))
+            ids.append(doc)
+            doc += 1
+    return ray.data.from_arrow(
+        pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts, pa.string())}
+        )
+    )
+
+
+def test_band_parallel_edges_identical_to_single_task(ray_session):
+    """The straggler-smoothing fan-out (_edges_band_parallel) must emit a
+    byte-identical edge table to the single-task path, including pair order
+    and overflow selection."""
+    from anno_ray.stages.canonicalize import (
+        MODE_CDCR,
+        _edges_band_parallel,
+        _edges_from_surface_table,
+    )
+
+    rng = random.Random(5)
+    types, surfaces = [], []
+    seen = set()
+    for i in range(1500):
+        base = f"acme corp {rng.randint(0, 300):03d}"
+        variant = rng.choice([base, base + " inc", base.replace("corp", "corporation"), f"zz{i}"])
+        key = ("ORG" if i % 3 else "PER", variant)
+        if key in seen:
+            continue
+        seen.add(key)
+        types.append(key[0])
+        surfaces.append(key[1])
+    tbl = pa.table(
+        {
+            "entity_type": pa.array(types, pa.string()),
+            "norm_surface": pa.array(surfaces, pa.string()),
+        }
+    )
+    args = (MODE_CDCR, 0.5, True, 5, 3, 64)
+    single = _edges_from_surface_table(tbl, *args[:3], *args[3:])
+    par = _edges_band_parallel(tbl, *args, n_chunks=3)
+    assert single.num_rows > 0
+    assert par.equals(single)
+
+
+def test_ngram_verify_join_path_matches_broadcast(dup_heavy_docs):
+    import ray
+
+    from anno_ray.stages.dedup import minhash_lsh_pairs, verify_pairs_ngram_jaccard
+
+    pairs = pa.concat_tables(
+        [ray.get(r) for r in minhash_lsh_pairs(dup_heavy_docs, threshold=0.5).to_arrow_refs()],
+        promote_options="permissive",
+    )
+    assert pairs.num_rows > 10
+
+    a = verify_pairs_ngram_jaccard(dup_heavy_docs, pairs)  # broadcast dict
+    assert isinstance(a, pa.Table)
+    b = verify_pairs_ngram_jaccard(dup_heavy_docs, pairs, max_broadcast_pairs=0)
+    assert not isinstance(b, pa.Table)
+
+    da = a.to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    db = b.to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    assert list(da["id_a"]) == list(db["id_a"])
+    assert list(da["id_b"]) == list(db["id_b"])
+    assert list(da["jaccard"]) == list(db["jaccard"])
+
+
+def test_minhash_dedup_forced_distributed_matches_driver(dup_heavy_docs):
+    from anno_ray.stages.dedup import minhash_dedup_ids
+
+    driver = minhash_dedup_ids(dup_heavy_docs, threshold=0.6)
+    assert isinstance(driver, pa.Table)
+    a = driver.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert len(a) > 20  # the fixture really is dup-heavy
+
+    dist = minhash_dedup_ids(dup_heavy_docs, threshold=0.6, max_driver_pairs=0)
+    assert not isinstance(dist, pa.Table)
+    b = dist.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(a["doc_id"]) == list(b["doc_id"])
+    assert list(a["keep_id"]) == list(b["keep_id"])
