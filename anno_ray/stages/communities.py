@@ -128,18 +128,10 @@ def label_propagation(
         batch_format="pyarrow",
     ).materialize()
 
-    def _sig_batch(b: pa.Table) -> pa.Table:
-        acc = 0
-        for k, lab in zip(b.column("node").to_pylist(), b.column("label").to_pylist()):
-            d = hashlib.blake2b(f"{k}\x00{lab}".encode("utf-8"), digest_size=8).digest()
-            acc = (acc + int.from_bytes(d, "big")) & ((1 << 64) - 1)
-        return pa.table({"sig": pa.array([acc], pa.uint64())})
-
     def _signature(ds_) -> int:
-        return sum(
-            r["sig"]
-            for r in ds_.map_batches(_sig_batch, batch_format="pyarrow").take_all()
-        ) & ((1 << 64) - 1)
+        from .components import multiset_signature
+
+        return multiset_signature(ds_, ("node", "label"))
 
     def _active(node: str, rnd: int) -> bool:
         d = hashlib.blake2b(f"{node}\x00{rnd}".encode("utf-8"), digest_size=1)

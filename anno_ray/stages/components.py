@@ -31,25 +31,32 @@ import pyarrow.compute as pc
 from ..ray_utils import register_for_ray
 
 
-def _sig_batch(b: pa.Table) -> pa.Table:
-    """Order-independent per-block signature of (k, label): vectorized
-    64-bit row hashes (deterministic keyed siphash), wrap-summed."""
-    import pandas as pd
+def multiset_signature(ds, cols: tuple[str, ...] = ("k", "label")) -> int:
+    """Order-independent 64-bit signature of a Dataset's row multiset over
+    ``cols``: vectorized per-row keyed siphash (pandas), wrap-summed. One
+    cheap scan of a materialized Dataset — the convergence check for every
+    fixpoint loop in this package (replaced a per-row Python blake2b pass
+    that dominated the 10M-key canonicalization benchmark)."""
 
-    if b.num_rows == 0:
-        return pa.table({"sig": pa.array([0], pa.uint64())})
-    df = b.select(["k", "label"]).to_pandas()
-    h = pd.util.hash_pandas_object(df, index=False).to_numpy(dtype=np.uint64)
-    with np.errstate(over="ignore"):
-        acc = int(np.sum(h, dtype=np.uint64))
-    return pa.table({"sig": pa.array([acc], pa.uint64())})
+    def _sig_batch(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        if b.num_rows == 0:
+            return pa.table({"sig": pa.array([0], pa.uint64())})
+        df = b.select(list(cols)).to_pandas()
+        h = pd.util.hash_pandas_object(df, index=False).to_numpy(dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            acc = int(np.sum(h, dtype=np.uint64))
+        return pa.table({"sig": pa.array([acc], pa.uint64())})
+
+    total = 0
+    for r in ds.map_batches(_sig_batch, batch_format="pyarrow").take_all():
+        total = (total + int(r["sig"])) & ((1 << 64) - 1)
+    return total
 
 
 def _signature(labels_ds) -> int:
-    total = 0
-    for r in labels_ds.map_batches(_sig_batch, batch_format="pyarrow").take_all():
-        total = (total + int(r["sig"])) & ((1 << 64) - 1)
-    return total
+    return multiset_signature(labels_ds, ("k", "label"))
 
 
 def min_label_components(

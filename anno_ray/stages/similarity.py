@@ -273,17 +273,15 @@ def embedding_near_dup_pairs(
             }
         )
 
+    from .dedup import distinct_pairs
+
     pairs = (
         ds.map_batches(band_rows, batch_format="pyarrow")
         .groupby(["table_id", "bucket"])
         .map_groups(bucket_pairs, batch_format="pyarrow")
     )
-    from ray.data.aggregate import Max
-
-    out = pairs.groupby(["id_a", "id_b"]).aggregate(Max("cosine"))
-    return out.map_batches(
-        lambda b: b.rename_columns(
-            [{"max(cosine)": "cosine"}.get(c, c) for c in b.column_names]
-        ),
-        batch_format="pyarrow",
-    )
+    # cosine is a pure function of the two vectors: cross-table duplicates
+    # carry identical scores, so dedup = distributed DISTINCT (a grouped
+    # aggregate over millions of 1-row pair groups wastes seconds in
+    # per-group overhead)
+    return distinct_pairs(pairs, ["cosine"])
