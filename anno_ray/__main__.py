@@ -9,6 +9,16 @@ extract, pipeline, crossdoc, batch, models, info, ...) on Ray Data:
   python -m anno_ray export --kg DIR --format cypher     graph export
   python -m anno_ray stats --kg DIR                      corpus stats
   python -m anno_ray models                              available extractors
+  python -m anno_ray validate F.jsonl ...                annotation lint
+  python -m anno_ray analyze --text T                    all extractors + agreement
+  python -m anno_ray compare --a regex --b heuristic     extractor diff
+  python -m anno_ray enhance --file doc.json             re-process w/ options
+  python -m anno_ray query --kg DIR --type PER           node table filters
+  python -m anno_ray batch --dir D --out O               parallel batch extract
+  python -m anno_ray cache list|clear                    on-disk cache mgmt
+  python -m anno_ray config [--save F]                   scale/dispatch config
+  python -m anno_ray info                                versions + features
+  python -m anno_ray benchmark [--docs N]                per-extractor docs/sec
 
 On a cluster, submit the same commands via:
   ray job submit --working-dir . -- python -m anno_ray kg --pages ... --out ...
@@ -269,6 +279,320 @@ def cmd_models(_args) -> int:
     return 0
 
 
+def cmd_validate(args) -> int:
+    """Validate JSONL annotation files (anno-cli validate analog,
+    validate.rs): span bounds, start<end, required fields. Exit 1 on any
+    invalid record."""
+    total_errors = 0
+    for path in args.files:
+        n_docs = 0
+        errors: list[str] = []
+        with open(path, encoding="utf-8") as f:
+            for lineno, line in enumerate(f, 1):
+                line = line.strip()
+                if not line:
+                    continue
+                n_docs += 1
+                try:
+                    rec = json.loads(line)
+                except json.JSONDecodeError as e:
+                    errors.append(f"line {lineno}: invalid JSON ({e})")
+                    continue
+                text = rec.get("text")
+                if not isinstance(rec.get("url", rec.get("id", "")), str):
+                    errors.append(f"line {lineno}: url/id must be a string")
+                mentions = rec.get("mentions") or rec.get("signals") or []
+                for k, m in enumerate(mentions):
+                    s, e_, lab = m.get("start"), m.get("end"), m.get("label")
+                    if not isinstance(s, int) or not isinstance(e_, int):
+                        errors.append(f"line {lineno} mention {k}: non-int span")
+                        continue
+                    if s < 0 or e_ <= s:
+                        errors.append(
+                            f"line {lineno} mention {k}: bad span [{s}:{e_}]"
+                        )
+                    if isinstance(text, str) and e_ > len(text):
+                        errors.append(
+                            f"line {lineno} mention {k}: span [{s}:{e_}] exceeds "
+                            f"text length {len(text)}"
+                        )
+                    if not lab:
+                        errors.append(f"line {lineno} mention {k}: empty label")
+                    mt = m.get("text")
+                    if (
+                        isinstance(text, str) and isinstance(mt, str)
+                        and isinstance(s, int) and isinstance(e_, int)
+                        and 0 <= s < e_ <= len(text) and text[s:e_] != mt
+                    ):
+                        errors.append(
+                            f"line {lineno} mention {k}: text mismatch "
+                            f"({text[s:e_]!r} != {mt!r})"
+                        )
+        status = "OK" if not errors else f"{len(errors)} error(s)"
+        print(f"{path}: {n_docs} docs, {status}")
+        for err in errors[: args.max_errors]:
+            print(f"  {err}")
+        total_errors += len(errors)
+    return 1 if total_errors else 0
+
+
+def cmd_analyze(args) -> int:
+    """Run EVERY registered extractor on one text and report agreement
+    (anno-cli analyze analog: 'deep analysis with multiple models')."""
+    from .functions import registry
+
+    if args.file:
+        with open(args.file, encoding="utf-8") as f:
+            text = f.read()
+    else:
+        text = args.text or sys.stdin.read()
+    spans_by_model: dict[str, set] = {}
+    for name in registry.available():
+        ex = registry.get_extractor(name)
+        ms = ex(text)
+        spans_by_model[name] = {(m.start, m.end, m.label) for m in ms}
+        print(f"=== {name}: {len(ms)} mentions ===")
+        for m in sorted(ms, key=lambda m: (m.start, m.end)):
+            print(f"  {m.label:8s} [{m.start}:{m.end}] {m.text}")
+    names = sorted(spans_by_model)
+    if len(names) > 1:
+        print("--- pairwise span agreement (jaccard) ---")
+        for i, a in enumerate(names):
+            for b in names[i + 1:]:
+                u = spans_by_model[a] | spans_by_model[b]
+                jac = len(spans_by_model[a] & spans_by_model[b]) / len(u) if u else 1.0
+                print(f"  {a} vs {b}: {jac:.3f}")
+    return 0
+
+
+def cmd_compare(args) -> int:
+    """Compare two extractors on the same text: shared / only-A / only-B
+    spans (anno-cli compare --models analog)."""
+    from .functions import registry
+
+    if args.file:
+        with open(args.file, encoding="utf-8") as f:
+            text = f.read()
+    else:
+        text = args.text or sys.stdin.read()
+    a = registry.get_extractor(args.a)(text)
+    b = registry.get_extractor(args.b)(text)
+    sa = {(m.start, m.end, m.label): m for m in a}
+    sb = {(m.start, m.end, m.label): m for m in b}
+    both = sorted(set(sa) & set(sb))
+    only_a = sorted(set(sa) - set(sb))
+    only_b = sorted(set(sb) - set(sa))
+    print(f"both={len(both)} only_{args.a}={len(only_a)} only_{args.b}={len(only_b)}")
+    for tag, keys, src in (("=", both, sa), ("<", only_a, sa), (">", only_b, sb)):
+        for k in keys:
+            m = src[k]
+            print(f"{tag} {m.label:8s} [{m.start}:{m.end}] {m.text}")
+    return 0
+
+
+def cmd_enhance(args) -> int:
+    """Re-process a JSON document record with extra stages toggled
+    (anno-cli enhance analog: add coref tracks / KB links to an existing
+    document). Input: JSON {url, text|html} on --file or stdin."""
+    from .core.document import process_document
+
+    raw = sys.stdin.read() if (args.file in (None, "-")) else open(
+        args.file, encoding="utf-8"
+    ).read()
+    rec = json.loads(raw)
+    content = rec.get("html") or rec.get("text") or ""
+    res = process_document(
+        rec.get("url", "enhance://doc"),
+        content,
+        is_html="html" in rec,
+        coref_strategy=args.coref,
+    )
+    out = {
+        "url": res.url,
+        "text": res.text,
+        "mentions": [
+            {"text": m.text, "label": m.label, "start": m.start, "end": m.end,
+             "conf": m.conf, "track_id": m.track_id, "kb_id": m.kb_id}
+            for m in res.mentions
+        ],
+        "tracks": [
+            {"track_id": t.track_id, "canonical": t.canonical_surface,
+             "type": t.entity_type, "size": len(t.mention_idxs)}
+            for t in res.tracks
+        ],
+        "triples": res.triples,
+    }
+    print(json.dumps(out, ensure_ascii=False))
+    return 0
+
+
+def cmd_query(args) -> int:
+    """Query/filter the canonical node table of a kg output
+    (anno-cli query analog: filter entities by type/name/frequency)."""
+    import duckdb
+
+    con = duckdb.connect()
+    where = []
+    if args.type:
+        where.append(f"node_type = '{args.type}'")
+    if args.name_contains:
+        esc = args.name_contains.replace("'", "''")
+        where.append(f"name LIKE '%{esc}%'")
+    if args.min_mentions:
+        where.append(f"mentions_count >= {args.min_mentions}")
+    sql = (
+        f"SELECT node_id, node_type, name, mentions_count "
+        f"FROM read_parquet('{args.kg}/nodes/part=*/data.parquet')"
+        + (" WHERE " + " AND ".join(where) if where else "")
+        + f" ORDER BY mentions_count DESC, node_id LIMIT {args.limit}"
+    )
+    for row in con.execute(sql).fetchall():
+        print(f"{row[1]:8s} {row[3]:6d}  {row[2]}  ({row[0]})")
+    return 0
+
+
+def cmd_batch(args) -> int:
+    """Batch-extract a directory of text files or a JSONL corpus to JSONL
+    docs via the Ray pipeline (anno-cli batch analog — whose --parallel flag
+    is an accepted-but-unimplemented placeholder, batch.rs:100-107; this one
+    actually fans out)."""
+    from .sources.readers import read_docs_jsonl, read_text_dir
+    from .sources.sinks import write_docs_jsonl
+    from .stages.extract import extract_docs
+
+    _ensure_ray(args.num_cpus)
+    if args.dir:
+        pages = read_text_dir(args.dir)
+    elif args.jsonl:
+        pages = read_docs_jsonl(args.jsonl)
+    else:
+        print("error: provide --dir or --jsonl", file=sys.stderr)
+        return 2
+    docs = extract_docs(pages, coref_strategy=args.coref)
+    write_docs_jsonl(docs, args.out)
+    print(args.out)
+    return 0
+
+
+def cmd_cache(args) -> int:
+    """Manage on-disk engine caches: fixture corpora, kg canonical-mapping
+    resume artifacts (anno-cli cache analog)."""
+    import glob as _glob
+    import os
+    import shutil
+
+    roots = sorted(
+        _glob.glob("/tmp/anno_ray_pages_*") + _glob.glob("/tmp/anno_bench_pages_*")
+    )
+    if args.action == "list":
+        total = 0
+        for r in roots:
+            size = sum(
+                os.path.getsize(os.path.join(dp, f))
+                for dp, _, fs in os.walk(r) for f in fs
+            )
+            total += size
+            print(f"{r}  {size / 1e6:.1f} MB")
+        print(f"total: {total / 1e6:.1f} MB in {len(roots)} cache dirs")
+        return 0
+    if args.action == "clear":
+        for r in roots:
+            shutil.rmtree(r, ignore_errors=True)
+            print(f"removed {r}")
+        return 0
+    print("error: action must be list|clear", file=sys.stderr)
+    return 2
+
+
+def cmd_config(args) -> int:
+    """Show (or save) the engine's effective scale/dispatch configuration
+    (anno-cli config analog)."""
+    from .pipelines.kg import BROADCAST_MAP_MAX, DRIVER_SURFACE_MAX
+    from .stages.canonicalize import _BAND_TASK_MIN
+    from .stages.communities import LEIDEN_DRIVER_MAX
+    from .stages.dedup import (
+        _BUCKET_PARTITIONS,
+        _CC_DRIVER_MAX_PAIRS,
+        _NGRAM_BROADCAST_MAX,
+        _VERIFY_BROADCAST_MAX,
+    )
+
+    cfg = {
+        "driver_surface_max": DRIVER_SURFACE_MAX,
+        "broadcast_map_max": BROADCAST_MAP_MAX,
+        "band_task_min": _BAND_TASK_MIN,
+        "leiden_driver_max_edges": LEIDEN_DRIVER_MAX,
+        "minhash_verify_broadcast_max_docs": _VERIFY_BROADCAST_MAX,
+        "minhash_cc_driver_max_pairs": _CC_DRIVER_MAX_PAIRS,
+        "ngram_verify_broadcast_max_pairs": _NGRAM_BROADCAST_MAX,
+        "bucket_shuffle_partitions": _BUCKET_PARTITIONS,
+    }
+    text = json.dumps(cfg, indent=1)
+    if args.save:
+        with open(args.save, "w", encoding="utf-8") as f:
+            f.write(text + "\n")
+        print(args.save)
+    else:
+        print(text)
+    return 0
+
+
+def cmd_info(_args) -> int:
+    """Runtime/feature report (anno-cli info analog): versions + optional
+    backend availability."""
+    import numpy
+    import pyarrow
+
+    import ray
+
+    print(f"python    {sys.version.split()[0]}")
+    print(f"ray       {ray.__version__}")
+    print(f"pyarrow   {pyarrow.__version__}")
+    print(f"numpy     {numpy.__version__}")
+    for feature, mod in [
+        ("onnxruntime (M1/M2 live inference)", "onnxruntime"),
+        ("PIL (image decode)", "PIL"),
+        ("duckdb (oracle/query)", "duckdb"),
+        ("polars", "polars"),
+    ]:
+        try:
+            __import__(mod)
+            print(f"feature {feature}: available")
+        except ImportError:
+            print(f"feature {feature}: NOT available (stubbed)")
+    from .functions import registry
+
+    print("extractors:", ", ".join(registry.available()))
+    return 0
+
+
+def cmd_benchmark(args) -> int:
+    """Micro-benchmark every registered extractor over synthetic CC pages
+    (anno-cli benchmark analog, per-backend docs/sec)."""
+    import time
+
+    from .core.html import resolve_content
+    from .fixtures.pages import generate_pages_table
+    from .functions import registry
+
+    pages = generate_pages_table(0, args.docs, seed=42)
+    texts = [
+        resolve_content(h.decode("utf-8", "replace") if isinstance(h, (bytes, bytearray)) else h)
+        for h in pages.column("html").to_pylist()
+    ]
+    for name in registry.available():
+        ex = registry.get_extractor(name)
+        ex(texts[0])  # warm (regex compile etc.)
+        t0 = time.time()
+        n_mentions = sum(len(ex(t)) for t in texts)
+        dt = time.time() - t0
+        print(
+            f"{name:12s} {args.docs / dt:8.1f} docs/s  "
+            f"{1e3 * dt / args.docs:7.2f} ms/doc  {n_mentions} mentions"
+        )
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="anno_ray", description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -332,6 +656,54 @@ def main(argv: list[str] | None = None) -> int:
 
     p = sub.add_parser("models", help="list available extractors")
     p.set_defaults(fn=cmd_models)
+
+    p = sub.add_parser("validate", help="validate JSONL annotation files")
+    p.add_argument("files", nargs="+")
+    p.add_argument("--max-errors", type=int, default=20)
+    p.set_defaults(fn=cmd_validate)
+
+    p = sub.add_parser("analyze", help="run all extractors on one text + agreement")
+    p.add_argument("--text"); p.add_argument("--file")
+    p.set_defaults(fn=cmd_analyze)
+
+    p = sub.add_parser("compare", help="diff two extractors on the same text")
+    p.add_argument("--a", required=True); p.add_argument("--b", required=True)
+    p.add_argument("--text"); p.add_argument("--file")
+    p.set_defaults(fn=cmd_compare)
+
+    p = sub.add_parser("enhance", help="re-process a JSON doc with extra stages")
+    p.add_argument("--file", default=None, help="JSON record ('-' or omit for stdin)")
+    p.add_argument("--coref", default="cli", choices=["cli", "simple"])
+    p.set_defaults(fn=cmd_enhance)
+
+    p = sub.add_parser("query", help="filter canonical nodes of a kg output")
+    p.add_argument("--kg", required=True)
+    p.add_argument("--type"); p.add_argument("--name-contains")
+    p.add_argument("--min-mentions", type=int, default=0)
+    p.add_argument("--limit", type=int, default=20)
+    p.set_defaults(fn=cmd_query)
+
+    p = sub.add_parser("batch", help="batch-extract a dir/JSONL corpus to JSONL")
+    p.add_argument("--dir"); p.add_argument("--jsonl")
+    p.add_argument("--out", required=True)
+    p.add_argument("--coref", default="cli", choices=["cli", "simple"])
+    p.add_argument("--num-cpus", type=int, default=None)
+    p.set_defaults(fn=cmd_batch)
+
+    p = sub.add_parser("cache", help="list/clear on-disk engine caches")
+    p.add_argument("action", choices=["list", "clear"])
+    p.set_defaults(fn=cmd_cache)
+
+    p = sub.add_parser("config", help="show/save engine scale configuration")
+    p.add_argument("--save", default=None)
+    p.set_defaults(fn=cmd_config)
+
+    p = sub.add_parser("info", help="runtime versions + feature availability")
+    p.set_defaults(fn=cmd_info)
+
+    p = sub.add_parser("benchmark", help="per-extractor docs/sec microbenchmark")
+    p.add_argument("--docs", type=int, default=50)
+    p.set_defaults(fn=cmd_benchmark)
 
     args = ap.parse_args(argv)
     return args.fn(args)

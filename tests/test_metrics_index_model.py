@@ -227,6 +227,69 @@ def test_actor_real_path_with_stub_session():
     assert len(actor.prompt_cache) == 1
 
 
+def test_gliner_feed_contract_pinned():
+    """Pin the EXACT ONNX feed names, dtypes and shapes the actor builds to
+    the reference session signature (gliner_onnx.rs:305-362: six feeds
+    input_ids/attention_mask/words_mask/text_lengths/span_idx/span_mask with
+    shapes (1,seq)x3 int64, (1,1) int64, (1,spans,2) int64, (1,spans) bool;
+    output [batch, num_words, max_width, num_types]). Catches feed-name or
+    shape drift against a real GLiNER export without needing a runtime."""
+    import numpy as np
+
+    from anno_ray.stages.model_ner import MAX_SPAN_WIDTH, ZeroShotNERActor
+
+    captured: dict = {}
+
+    class _CaptureSession:
+        def run(self, _names, feeds):
+            captured.update(feeds)
+            n_words = int(feeds["text_lengths"][0][0])
+            return [
+                np.full((1, n_words, MAX_SPAN_WIDTH, 2), -10.0, np.float32)
+            ]
+
+    actor = ZeroShotNERActor(["person", "org"], fake=True, threshold=0.5)
+    actor.fake = False
+    actor.model = _CaptureSession()
+    actor.tokenizer = _toy_tokenize
+
+    text = "John works at Acme Corp today"
+    n_words = len(text.split())
+    actor._extract_real(text)
+
+    # the six reference feed names, nothing more, nothing less
+    assert set(captured) == {
+        "input_ids", "attention_mask", "words_mask",
+        "text_lengths", "span_idx", "span_mask",
+    }
+    seq = captured["input_ids"].shape[1]
+    for name in ("input_ids", "attention_mask", "words_mask"):
+        assert captured[name].shape == (1, seq)
+        assert captured[name].dtype == np.int64
+    assert captured["text_lengths"].shape == (1, 1)
+    assert captured["text_lengths"].dtype == np.int64
+    assert int(captured["text_lengths"][0, 0]) == n_words
+    n_spans = n_words * MAX_SPAN_WIDTH
+    assert captured["span_idx"].shape == (1, n_spans, 2)
+    assert captured["span_idx"].dtype == np.int64
+    assert captured["span_mask"].shape == (1, n_spans)
+    assert captured["span_mask"].dtype == np.bool_
+    # span rows follow the gline-rs layout: row w*W+width = (w, w+width),
+    # masked valid only when the span end stays inside the text
+    si = captured["span_idx"][0]
+    sm = captured["span_mask"][0]
+    for w in range(n_words):
+        for width in range(MAX_SPAN_WIDTH):
+            row = w * MAX_SPAN_WIDTH + width
+            if sm[row]:
+                assert si[row, 0] == w and si[row, 1] == w + width
+                assert w + width < n_words
+    # attention mask is all ones over the packed sequence
+    assert captured["attention_mask"].sum() == seq
+    # words_mask marks exactly one (first) subtoken per text word
+    assert (captured["words_mask"] > 0).sum() == n_words
+
+
 def test_actor_without_runtime_raises():
     import pytest
 
