@@ -33,18 +33,34 @@ from ..ray_utils import register_for_ray
 
 def multiset_signature(ds, cols: tuple[str, ...] = ("k", "label")) -> int:
     """Order-independent 64-bit signature of a Dataset's row multiset over
-    ``cols``: vectorized per-row keyed siphash (pandas), wrap-summed. One
-    cheap scan of a materialized Dataset — the convergence check for every
-    fixpoint loop in this package (replaced a per-row Python blake2b pass
-    that dominated the 10M-key canonicalization benchmark)."""
+    ``cols``: vectorized per-row keyed siphash, wrap-summed. One cheap scan
+    of a materialized Dataset — the convergence check for every fixpoint
+    loop in this package (replaced a per-row Python blake2b pass that
+    dominated the 10M-key canonicalization benchmark).
+
+    NUL-safety: pandas' object-string hashing treats values as C strings and
+    TRUNCATES at the first embedded ``\\x00`` byte — and this package's
+    composite keys are exactly ``type\\x00surface``, which once made every
+    row hash identically and the convergence check never fire (the loop ran
+    to max_iters). Rows are therefore serialized to a single NUL-free string
+    (columns joined with ``\\x1e``, NULs replaced by ``\\x1f``) before
+    hashing; only that combined column is ever hashed."""
 
     def _sig_batch(b: pa.Table) -> pa.Table:
         import pandas as pd
 
         if b.num_rows == 0:
             return pa.table({"sig": pa.array([0], pa.uint64())})
-        df = b.select(list(cols)).to_pandas()
-        h = pd.util.hash_pandas_object(df, index=False).to_numpy(dtype=np.uint64)
+        parts = [
+            pc.fill_null(pc.cast(b.column(c), pa.string()), "\x1f\x1f")
+            for c in cols
+        ]
+        joined = parts[0] if len(parts) == 1 else pc.binary_join_element_wise(
+            *parts, "\x1e"
+        )
+        safe = pc.replace_substring(joined, "\x00", "\x1f")
+        arr = safe.to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(arr).astype(np.uint64)
         with np.errstate(over="ignore"):
             acc = int(np.sum(h, dtype=np.uint64))
         return pa.table({"sig": pa.array([acc], pa.uint64())})

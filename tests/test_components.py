@@ -75,6 +75,38 @@ def test_components_from_pairs_matches_unionfind_str(ray_session):
     assert dict(zip(out["k"], out["label"])) == expect
 
 
+def test_multiset_signature_sees_past_nul_bytes(ray_session):
+    """pandas' object-string hash truncates at embedded \\x00 (C-string
+    semantics); the package's composite keys are 'type\\x00surface'. The
+    signature must distinguish multisets that differ only AFTER the NUL —
+    regression for the bug where every CC round hashed identically and the
+    fixpoint loop ran to max_iters."""
+    import ray.data
+
+    from anno_ray.stages.components import multiset_signature
+
+    a = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": ["ORG\x00acme", "ORG\x00globex"],
+                "label": ["ORG\x00acme", "ORG\x00acme"],
+            }
+        )
+    ).materialize()
+    b = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": ["ORG\x00acme", "ORG\x00globex"],
+                "label": ["ORG\x00acme", "ORG\x00globex"],
+            }
+        )
+    ).materialize()
+    sa, sb = multiset_signature(a), multiset_signature(b)
+    assert sa != sb
+    # stable across block layout
+    assert multiset_signature(a.repartition(2).materialize()) == sa
+
+
 def test_chain_converges_log_rounds(ray_session):
     """A long path graph exercises pointer doubling (diameter >> rounds)."""
     import ray.data
