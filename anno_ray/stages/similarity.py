@@ -92,13 +92,21 @@ def cosine_topk(
     import ray
 
     register_for_ray()
-    ref = ray.put((list(query_ids), np.asarray(query_matrix, dtype=np.float32)))
-    partial = ds.map_batches(
-        CosineTopK,
-        fn_constructor_args=(ref, k, id_col, vec_col),
-        batch_format="pyarrow",
-        concurrency=(1, 8),
-    )
+    qm = np.asarray(query_matrix, dtype=np.float32)
+    if qm.nbytes <= 4 << 20:
+        # tiny query matrix: ship it in the task closure — a task pool has
+        # no actor spin-up latency, and "broadcast via ray.put + actor
+        # __init__" only pays off when the shared side is big
+        kern = CosineTopK((list(query_ids), qm), k, id_col, vec_col)
+        partial = ds.map_batches(kern, batch_format="pyarrow")
+    else:
+        ref = ray.put((list(query_ids), qm))
+        partial = ds.map_batches(
+            CosineTopK,
+            fn_constructor_args=(ref, k, id_col, vec_col),
+            batch_format="pyarrow",
+            concurrency=(1, 8),
+        )
     tbl = pa.concat_tables(
         [ray.get(r) for r in partial.to_arrow_refs()], promote_options="permissive"
     )
@@ -163,31 +171,20 @@ def lsh_cosine_topk(
     for t in range(n_tables):
         packed = np.packbits(q_sigs[t], axis=1)[:, 0]
         q_buckets.append({int(b) for b in packed})
-    planes_ref = ray.put(planes)
-    qb_ref = ray.put(q_buckets)
+    # planes + query-bucket sets are a few KB: ship them in the task
+    # closure (no actor pool spin-up for a tiny shared side)
+    def bucket_filter(b: pa.Table) -> pa.Table:
+        m = _to_matrix(b.column(vec_col))
+        if m.shape[0] == 0:
+            return b.slice(0, 0)
+        keep = np.zeros(m.shape[0], dtype=bool)
+        for t, p in enumerate(planes):
+            sig = (np.sign(m @ p.T) > 0).astype(np.uint8)
+            packed = np.packbits(sig, axis=1)[:, 0]
+            keep |= np.isin(packed, list(q_buckets[t]))
+        return b.filter(pa.array(keep))
 
-    class BucketFilter:
-        def __init__(self, planes_ref, qb_ref):
-            self.planes = ray.get(planes_ref)
-            self.q_buckets = ray.get(qb_ref)
-
-        def __call__(self, b: pa.Table) -> pa.Table:
-            m = _to_matrix(b.column(vec_col))
-            if m.shape[0] == 0:
-                return b.slice(0, 0)
-            keep = np.zeros(m.shape[0], dtype=bool)
-            for t, p in enumerate(self.planes):
-                sig = (np.sign(m @ p.T) > 0).astype(np.uint8)
-                packed = np.packbits(sig, axis=1)[:, 0]
-                keep |= np.isin(packed, list(self.q_buckets[t]))
-            return b.filter(pa.array(keep))
-
-    candidates = ds.map_batches(
-        BucketFilter,
-        fn_constructor_args=(planes_ref, qb_ref),
-        batch_format="pyarrow",
-        concurrency=(1, 8),
-    )
+    candidates = ds.map_batches(bucket_filter, batch_format="pyarrow")
     return cosine_topk(
         candidates, query_ids, qm, k=k, id_col=id_col, vec_col=vec_col
     )
