@@ -250,7 +250,7 @@ def run_canonicalize_stage(
     os.makedirs(mdir, exist_ok=True)
     if n_surfaces <= max_driver_surfaces:
         surfaces = canon.collect_surfaces(surfaces_ds)
-        edges = canon.fuzzy_edges(surfaces, mode=mode)
+        edges = canon.fuzzy_edges(surfaces, mode=mode, n_surfaces=n_surfaces)
         mapping = canon.build_canonical_map(surfaces, edges)
         pq.write_table(mapping, map_path)
         with open(meta_path, "w", encoding="utf-8") as f:
@@ -266,7 +266,8 @@ def run_canonicalize_stage(
     import shutil as _shutil
 
     edges_ds = canon.fuzzy_edges(
-        surfaces_ds, mode=mode, max_task_surfaces=max_driver_surfaces
+        surfaces_ds, mode=mode, max_task_surfaces=max_driver_surfaces,
+        n_surfaces=n_surfaces,
     )
     mapping_ds = canon.build_canonical_map_distributed(
         surfaces_ds, edges_ds, as_dataset=True

@@ -554,6 +554,7 @@ def fuzzy_edges(
     max_bucket: int = 256,
     max_task_surfaces: int = 2_000_000,
     band_task_min: int = _BAND_TASK_MIN,
+    n_surfaces: int | None = None,
 ):
     """Distinct surfaces -> similarity edges via LSH buckets.
 
@@ -563,7 +564,8 @@ def fuzzy_edges(
     ``max_task_surfaces`` the same computation fans out band- and
     bucket-chunk-parallel with byte-identical output (no one-core straggler
     just under the dispatch point). Beyond that, the fully distributed
-    band-groupby path takes over.
+    band-groupby path takes over. Callers that already counted the input
+    pass ``n_surfaces`` to skip a second scan.
     """
     import ray
 
@@ -573,10 +575,11 @@ def fuzzy_edges(
 
     # decide the path WITHOUT collecting the table when the input is a large
     # Dataset: count() is a metadata/aggregate op, not a driver materialize
-    if isinstance(surfaces_ds, pa.Table):
-        n_surfaces = surfaces_ds.num_rows
-    else:
-        n_surfaces = surfaces_ds.count()
+    if n_surfaces is None:
+        if isinstance(surfaces_ds, pa.Table):
+            n_surfaces = surfaces_ds.num_rows
+        else:
+            n_surfaces = surfaces_ds.count()
 
     if n_surfaces <= max_task_surfaces:
         surf_tbl = _to_table(

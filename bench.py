@@ -180,6 +180,11 @@ def main() -> None:
     scaling = "--scaling" in sys.argv
     sf = _sf_name()
     n_pages = _PAGES_BY_SF.get(sf, 3000)
+    if scaling and os.environ.get("BENCH_SCALING_PAGES"):
+        # scaling evidence needs the SAME input at two parallelism levels,
+        # not a specific corpus size; an override keeps the four fresh-process
+        # runs inside a CI/driver time budget on slow hosts
+        n_pages = int(os.environ["BENCH_SCALING_PAGES"])
     pages = pages_dir(n_pages)
 
     if scaling:
