@@ -68,6 +68,8 @@ class ExtractShard:
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.parquet as pq
 
+        from ..stages.extract import _explode
+
         paths = batch.column("path").to_pylist()
         pids = batch.column("pid").to_pylist()
         rows = []
@@ -89,6 +91,16 @@ class ExtractShard:
                 if out_parts
                 else extract_batch(table)
             )
+            # per-shard distinct-surface partial (the canonicalize stage's
+            # combiner, run WHILE the mentions are already in memory): the
+            # canonicalize groupby then reads these kB-sized partials
+            # instead of re-scanning + re-exploding the docs parquet
+            mentions = _explode(docs.select(["url", "mentions"]), "mentions", ["url"])
+            ner = mentions.filter(
+                pc.is_in(mentions.column("label"),
+                         value_set=pa.array(["PER", "ORG", "LOC"]))
+            )
+            surf_partial = canon._preagg_surfaces(ner, "label", "norm_surface")
             mf.write_partition(
                 self.out_dir,
                 "docs",
@@ -101,6 +113,7 @@ class ExtractShard:
                     "seconds": time.time() - t0,
                     "coref_strategy": self.coref_strategy,
                 },
+                side_tables={"surfaces": surf_partial},
             )
             rows.append({"pid": pid, "pages": n})
         return pa.table(
@@ -145,12 +158,20 @@ def run_extract_stage(
     if pending:
         items = [{"path": p, "pid": _shard_pid(p)} for p in pending]
         shards = ray.data.from_items(items)
+        if concurrency is None:
+            # fixed-size pool sized to the cluster: the lazy (2, N) ramp-up
+            # left most cores idle for the first seconds of the stage
+            try:
+                ncpu = int(ray.cluster_resources().get("CPU", 8))
+            except Exception:
+                ncpu = 8
+            concurrency = max(1, min(ncpu, len(pending)))
         res = shards.map_batches(
             ExtractShard,
             fn_constructor_args=(out_dir, coref_strategy),
             batch_size=1,
             batch_format="pyarrow",
-            concurrency=concurrency or (2, 32),
+            concurrency=concurrency,
             num_cpus=1,
         )
         res.materialize()
@@ -225,17 +246,37 @@ def run_canonicalize_stage(
         except (json.JSONDecodeError, OSError):
             pass
 
-    # prune at the read: only url + the mentions column leave storage
-    docs = docs_dataset(out_dir, columns=["url", "mentions"])
-    mentions = mentions_table(docs)
+    # the extract shards commit a kB-sized distinct-surface combiner partial
+    # next to each docs partition; when every completed partition has one,
+    # the wide docs re-scan (read + mentions explode + filter) is skipped
+    # entirely and this stage aggregates the partials (identical math: the
+    # partial IS _preagg_surfaces over the shard's PER/ORG/LOC mentions)
+    import ray.data as _rd
 
-    # only PER/ORG/LOC surfaces participate in cross-doc clustering
-    def _ner_only(b: pa.Table) -> pa.Table:
-        mask = pc.is_in(b.column("label"), value_set=pa.array(["PER", "ORG", "LOC"]))
-        return b.filter(mask)
+    done = mf.completed_partitions(out_dir, "docs")
+    partials = [
+        os.path.join(out_dir, "docs", "_side", "surfaces", f"{pid}.parquet")
+        for pid in sorted(done)
+    ]
+    if partials and all(os.path.exists(p) for p in partials):
+        pre = _rd.read_parquet(partials)
+        surfaces_ds = pre.groupby(["entity_type", "norm_surface"]).sum("n_mentions")
+    else:
+        # fallback (outputs from older runs without partials)
+        docs = docs_dataset(out_dir, columns=["url", "mentions"])
+        mentions = mentions_table(docs)
 
-    ner = mentions.map_batches(_ner_only, batch_format="pyarrow")
-    surfaces_ds = canon.surface_groups(ner, type_col="label", surface_col="norm_surface")
+        # only PER/ORG/LOC surfaces participate in cross-doc clustering
+        def _ner_only(b: pa.Table) -> pa.Table:
+            mask = pc.is_in(
+                b.column("label"), value_set=pa.array(["PER", "ORG", "LOC"])
+            )
+            return b.filter(mask)
+
+        ner = mentions.map_batches(_ner_only, batch_format="pyarrow")
+        surfaces_ds = canon.surface_groups(
+            ner, type_col="label", surface_col="norm_surface"
+        )
     # materialize the distinct-surface Dataset ONCE; the edge pass and the
     # merge both consume it, avoiding a second execution of explode+groupby
     surfaces_ds = surfaces_ds.materialize()
@@ -532,11 +573,13 @@ def _run_materialize_broadcast(out_dir: str, mapping: pa.Table) -> dict:
 
     nodes = nodes.map_batches(_rename, batch_format="pyarrow")
     # consuming `nodes` drives the fused pass (and hence the edge spills)
+    t0 = time.time()
     nodes_stats = write_sorted(
         nodes, out_dir, "nodes",
         sort_keys=["node_id"], boundary_keys=boundary, num_partitions=n_parts,
         resume=False,
     )
+    t1 = time.time()
 
     fp = _materialize_fingerprint(out_dir, mapping)
     edges_done = {
@@ -549,12 +592,19 @@ def _run_materialize_broadcast(out_dir: str, mapping: pa.Table) -> dict:
         sort_keys=["subj_node", "pred", "obj_node"], n_parts=n_parts,
         done=edges_done, fingerprint=fp,
     )
+    t2 = time.time()
 
     for stage in ("nodes", "edges"):
         os.makedirs(os.path.join(out_dir, stage), exist_ok=True)
         with open(os.path.join(out_dir, stage, "_SUCCESS"), "w", encoding="utf-8") as f:
             json.dump({"stage": stage}, f)
-    return {"nodes": nodes_stats, "edges": edges_stats}
+    return {
+        "nodes": nodes_stats, "edges": edges_stats,
+        "phase_seconds": {
+            "fused_pass_and_nodes": round(t1 - t0, 2),
+            "edges_merge": round(t2 - t1, 2),
+        },
+    }
 
 
 # --- join-based map-back (scale path) ----------------------------------------
@@ -937,17 +987,25 @@ def run_kg_pipeline(
     s_extract = run_extract_stage(
         pages_dir, out_dir, resume=resume, coref_strategy=coref_strategy
     )
+    t1 = time.time()
     mapping = run_canonicalize_stage(
         out_dir, mode=mode, resume=resume, max_driver_surfaces=max_driver_surfaces
     )
+    t2 = time.time()
     s_mat = run_materialize_stage(out_dir, mapping)
+    t3 = time.time()
     stats = {
         "extract": s_extract,
         "canonical_surfaces": (
             mapping.num_rows if isinstance(mapping, pa.Table) else mapping.count()
         ),
         "materialize": s_mat,
-        "seconds": time.time() - t0,
+        "stage_seconds": {
+            "extract": round(t1 - t0, 2),
+            "canonicalize": round(t2 - t1, 2),
+            "materialize": round(t3 - t2, 2),
+        },
+        "seconds": t3 - t0,
     }
     with open(os.path.join(out_dir, "run_stats.json"), "w", encoding="utf-8") as f:
         json.dump(stats, f, indent=1)

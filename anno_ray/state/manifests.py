@@ -54,8 +54,14 @@ def write_partition(
     table,
     inputs: list[str],
     metrics: dict | None = None,
+    side_tables: dict | None = None,
 ) -> dict:
-    """Write one partition's parquet + manifest (manifest last = commit)."""
+    """Write one partition's parquet + manifest (manifest last = commit).
+
+    ``side_tables`` ({name: pa.Table}) are small per-partition byproducts
+    (e.g. the distinct-surface combiner output) committed under the same
+    manifest: they are written BEFORE the manifest, so a partition is only
+    ever observed complete with all its side tables present."""
     import pyarrow.parquet as pq
 
     pdir = partition_dir(out_dir, stage, partition_id)
@@ -64,6 +70,14 @@ def write_partition(
     tmp_path = data_path + ".tmp"
     pq.write_table(table, tmp_path)
     os.replace(tmp_path, data_path)
+    for name, side in (side_tables or {}).items():
+        # side tables live under an underscore-prefixed sibling dir so the
+        # stage's own `read_parquet(<stage dir>)` globs never see them
+        sdir = os.path.join(out_dir, stage, "_side", name)
+        os.makedirs(sdir, exist_ok=True)
+        spath = os.path.join(sdir, f"{partition_id}.parquet")
+        pq.write_table(side, spath + ".tmp")
+        os.replace(spath + ".tmp", spath)
 
     h = hashlib.blake2b(digest_size=16)
     with open(data_path, "rb") as f:
