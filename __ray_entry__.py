@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity / dedup / analysis (non-SQL -> rows-only) ---
         "ann_cosine_topk": dq.ann_cosine_topk,
         "ann_lsh_topk": dq.ann_lsh_topk,
+        "ann_ivf_topk": dq.ann_ivf_topk,
         "embedding_near_dups": dq.embedding_near_dups,
         "minhash_near_dups": dq.minhash_near_dups,
         "simhash_near_dups": dq.simhash_near_dups,

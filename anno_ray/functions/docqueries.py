@@ -179,6 +179,17 @@ def ann_lsh_topk(sf_dir: str, n_queries: int = 10, k: int = 5):
     return lsh_cosine_topk(ds, qids, qm, k=k)
 
 
+def ann_ivf_topk(sf_dir: str, n_queries: int = 10, k: int = 5):
+    """IVF (k-means coarse quantizer) approximate variant — the
+    data-adaptive ANN scale path (rows-only; recall vs exact pinned in
+    tests)."""
+    from ..stages.similarity import ivf_cosine_topk
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qids, qm = _query_head(ds, n_queries)
+    return ivf_cosine_topk(ds, qids, qm, k=k)
+
+
 def embedding_near_dups(sf_dir: str):
     from ..stages.similarity import embedding_near_dup_pairs
 

@@ -190,6 +190,93 @@ def lsh_cosine_topk(
     )
 
 
+def _kmeans_cosine(sample: np.ndarray, n_clusters: int, n_iter: int = 12) -> np.ndarray:
+    """Deterministic spherical k-means (Lloyd) over L2-normalized vectors:
+    init = evenly spaced rows of the (caller-sorted) sample, assignment by
+    max dot product, centroids re-normalized each round. No RNG — same
+    input, same centroids, every run."""
+    sample = _normalize(sample.astype(np.float32))
+    n = sample.shape[0]
+    n_clusters = min(n_clusters, n)
+    idx = np.linspace(0, n - 1, n_clusters).astype(np.int64)
+    centroids = sample[idx].copy()
+    for _ in range(n_iter):
+        assign = np.argmax(sample @ centroids.T, axis=1)
+        for c in range(n_clusters):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        centroids = _normalize(centroids)
+    return centroids
+
+
+def ivf_cosine_topk(
+    ds,
+    query_ids: list[int],
+    query_matrix,
+    *,
+    k: int = 5,
+    n_clusters: int = 64,
+    n_probe: int = 8,
+    sample_size: int = 10_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """IVF (inverted-file) approximate top-k — the data-adaptive scale path
+    next to the hyperplane-LSH variant.
+
+    1. a deterministic corpus sample (``vec_id % rate == 0``) trains a
+       spherical k-means coarse quantizer on the driver (sample x dim only);
+    2. queries probe their ``n_probe`` nearest cells;
+    3. one map_batches pass assigns each corpus vector to its cell
+       (vectorized argmax against the broadcast centroid matrix) and keeps
+       only vectors in probed cells;
+    4. exact ``cosine_topk`` runs over the surviving candidates.
+
+    At 10^9 vectors the full matmul scans ~n_probe/n_clusters of the corpus;
+    centroids are a few KB and ride task closures. Fully deterministic.
+    """
+    import ray
+
+    register_for_ray()
+    qm = _normalize(np.asarray(query_matrix, dtype=np.float32))
+
+    # deterministic bounded sample for training (never the whole corpus)
+    n_total = ds.count()
+    rate = max(1, n_total // sample_size)
+
+    def _sample(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (ids % rate) == 0
+        return b.filter(pa.array(keep))
+
+    sampled = []
+    for ref in ds.map_batches(_sample, batch_format="pyarrow").to_arrow_refs():
+        t = ray.get(ref)
+        if t.num_rows:
+            sampled.append(t)
+    sample_tbl = pa.concat_tables(sampled, promote_options="permissive")
+    order = pa.compute.sort_indices(sample_tbl, sort_keys=[(id_col, "ascending")])
+    sample_m = _to_matrix(sample_tbl.take(order).column(vec_col))
+    centroids = _kmeans_cosine(sample_m, n_clusters)
+
+    probe = np.argsort(-(qm @ centroids.T), axis=1)[:, : min(n_probe, centroids.shape[0])]
+    probed = np.zeros(centroids.shape[0], dtype=bool)
+    probed[np.unique(probe)] = True
+
+    def cell_filter(b: pa.Table) -> pa.Table:
+        m = _normalize(_to_matrix(b.column(vec_col)))
+        if m.shape[0] == 0:
+            return b.slice(0, 0)
+        cells = np.argmax(m @ centroids.T, axis=1)
+        return b.filter(pa.array(probed[cells]))
+
+    candidates = ds.map_batches(cell_filter, batch_format="pyarrow")
+    return cosine_topk(
+        candidates, query_ids, qm, k=k, id_col=id_col, vec_col=vec_col
+    )
+
+
 def embedding_near_dup_pairs(
     ds,
     *,

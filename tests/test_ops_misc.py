@@ -199,6 +199,45 @@ def test_cosine_topk_exact_vs_lsh(ray_session):
     assert 1 in approx.column("neighbor_id").to_pylist()
 
 
+def test_ivf_topk_recall_vs_exact(ray_session):
+    """IVF variant: on clustered data, probing a few cells recovers the
+    exact neighbors; deterministic (no RNG in the quantizer)."""
+    import ray.data
+
+    from anno_ray.stages.similarity import cosine_topk, ivf_cosine_topk
+
+    rng = np.random.RandomState(7)
+    # 5 well-separated clusters of 60 vectors
+    centers = rng.randn(5, 24).astype(np.float32) * 4
+    vecs = np.concatenate(
+        [c + rng.randn(60, 24).astype(np.float32) * 0.3 for c in centers]
+    )
+    ds = ray.data.from_items(
+        [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(len(vecs))]
+    ).materialize()
+    qids = [0, 60, 120]
+    qm = vecs[qids]
+    exact = cosine_topk(ds, qids, qm, k=5)
+    approx = ivf_cosine_topk(
+        ds, qids, qm, k=5, n_clusters=10, n_probe=3, sample_size=150
+    )
+
+    def topsets(t):
+        out = {}
+        for q, n in zip(t.column("query_id").to_pylist(), t.column("neighbor_id").to_pylist()):
+            out.setdefault(q, set()).add(n)
+        return out
+
+    e, a = topsets(exact), topsets(approx)
+    recall = sum(len(e[q] & a.get(q, set())) for q in e) / sum(len(e[q]) for q in e)
+    assert recall >= 0.8, recall
+    # determinism: same call -> same result
+    again = ivf_cosine_topk(
+        ds, qids, qm, k=5, n_clusters=10, n_probe=3, sample_size=150
+    )
+    assert again.equals(approx)
+
+
 def test_multimodal_plumbing(ray_session):
     import ray.data
 
