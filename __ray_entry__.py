@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": dq.doc_fingerprints,
         "multimodal_decode": dq.multimodal_decode,
         "eval_ner_modes": dq.eval_ner_modes,
+        "bert_ner_mentions": dq.bert_ner_mentions,
         "coref_quality": dq.coref_quality,
         "minhash_dedup_keep": dq.minhash_dedup_keep,
         # --- KG pipeline (non-SQL -> rows-only) ---

@@ -475,6 +475,23 @@ def eval_ner_modes(sf_dir: str):
     return pd.DataFrame(out)
 
 
+def bert_ner_mentions(sf_dir: str):
+    """M2 BERT token-classification stage over CC-style pages (rows-only;
+    deterministic fake scorer — no ONNX runtime in this container; the
+    real encode/decode path is stub-session-tested)."""
+    from ..stages.extract import extract_docs
+    from ..stages.model_ner import bert_ner
+
+    docs = extract_docs(_synthetic_pages(sf_dir), with_text=True)
+    out = bert_ner(
+        docs.map_batches(
+            lambda b: b.select(["url", "text"]), batch_format="pyarrow"
+        ),
+        fake=True,
+    )
+    return out.select_columns(["url", "label", "start", "end"])
+
+
 def coref_quality(sf_dir: str):
     """Full coref-metric suite (B3, MUC, CEAFe, CEAFm, LEA, BLANC, CoNLL-F1)
     comparing the C2 SimpleCorefResolver track partition against the C1

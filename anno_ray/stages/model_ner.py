@@ -380,3 +380,225 @@ def zero_shot_ner(
         concurrency=concurrency,
         num_cpus=num_cpus,
     )
+
+
+# --- M2: BERT token-classification NER (onnx.rs BertNEROnnx) ------------------
+#
+# Same seam design as the GLiNER path: encode/run/decode are code-complete
+# and unit-tested against a stub session; a real onnxruntime session +
+# tokenizer drop in without code changes.
+
+# onnx.rs:229-238 fallback id2label (CoNLL-2003 layout)
+BERT_DEFAULT_ID2LABEL = {
+    0: "O",
+    1: "B-MISC", 2: "I-MISC",
+    3: "B-PER", 4: "I-PER",
+    5: "B-ORG", 6: "I-ORG",
+    7: "B-LOC", 8: "I-LOC",
+}
+
+
+def _bio_type_key(entity_label: str) -> str:
+    """Type-merge key replicating the reference's discriminant comparison
+    (onnx.rs:476-480 std::mem::discriminant): the known types are distinct,
+    but ALL EntityType::Other(...) values share one discriminant — so any
+    two unknown labels merge."""
+    lab = entity_label.upper()
+    return lab if lab in ("PER", "ORG", "LOC") else "OTHER"
+
+
+def decode_bio_logits(
+    logits: np.ndarray,
+    text: str,
+    offsets: list[tuple[int, int]],
+    id2label: dict[int, str] | None = None,
+) -> list[Mention]:
+    """BIO decode of token-classification logits, replicating
+    ``BertNEROnnx::decode_output`` (onnx.rs:336-560) exactly:
+
+    - special tokens (char_start == char_end) FLUSH the open entity;
+    - per-token argmax; confidence = softmax prob of the argmax
+      (1 / sum(exp(l - max)), onnx.rs:421-430);
+    - "O" flushes; "B-X" merges into the open entity when the type key
+      matches AND char_start <= prev_end + 1 (adjacent subwords), else
+      flushes and opens; "I-X" extends a type-matching open entity
+      (keeping the OPEN entity's confidence) or flushes and opens;
+    - emitted text is trimmed but the span keeps the raw offsets
+      (reference behavior); whitespace-only surfaces are dropped.
+    """
+    if logits.ndim == 3:
+        logits = logits[0]
+    id2label = id2label or BERT_DEFAULT_ID2LABEL
+    n_text = len(text)
+    out: list[Mention] = []
+    current: tuple[int, int, str, str, float] | None = None
+    # (start, end, mention_label, type_key, conf)
+
+    def flush():
+        nonlocal current
+        if current is None:
+            return
+        s, e, lab, _tk, conf = current
+        current = None
+        surface = text[s:e] if 0 <= s < e <= n_text else ""
+        if surface.strip():
+            out.append(
+                Mention(surface.strip(), lab, s, e, round(float(conf), 4),
+                        "bio", "bert_onnx")
+            )
+
+    seq_len = min(logits.shape[0], len(offsets))
+    for ti in range(seq_len):
+        cs, ce = offsets[ti]
+        if cs == ce:
+            flush()
+            continue
+        row = logits[ti]
+        max_idx = int(np.argmax(row))
+        exp_sum = float(np.sum(np.exp(row - row[max_idx])))
+        conf = 1.0 / exp_sum if exp_sum > 0 else 0.0
+        label = id2label.get(max_idx, f"LABEL_{max_idx}")
+        if label == "O":
+            flush()
+            continue
+        if label.startswith("B-"):
+            bio, ent = "B", label[2:]
+        elif label.startswith("I-"):
+            bio, ent = "I", label[2:]
+        else:
+            bio, ent = "B", label
+        tk = _bio_type_key(ent)
+        mention_label = tk if tk != "OTHER" else ent.upper()
+        if bio == "B":
+            if current is not None and current[3] == tk and cs <= current[1] + 1:
+                # adjacent same-type B: merge, keep the open entity's label
+                # and confidence (onnx.rs:476-492)
+                current = (current[0], ce, current[2], current[3], current[4])
+            else:
+                flush()
+                current = (cs, ce, mention_label, tk, conf)
+        else:  # "I"
+            if current is not None and current[3] == tk:
+                # extend; the reference keeps the open conf but takes the
+                # NEW entity_type value (same discriminant) — visible only
+                # for Other(...) labels (onnx.rs:517-525)
+                current = (current[0], ce, mention_label, tk, current[4])
+            else:
+                flush()
+                current = (cs, ce, mention_label, tk, conf)
+    flush()
+    return out
+
+
+class BertNERActor:
+    """Actor-pool BERT NER (M2): ``__init__`` holds session + tokenizer once
+    per actor; ``__call__`` decodes batches. ``tokenizer`` seam:
+    ``tokenize_with_offsets(text) -> (input_ids, offsets)`` where offsets
+    include the special tokens as (0, 0) pairs (HF tokenizers'
+    ``encoding.get_offsets()`` contract, onnx.rs:282-292)."""
+
+    def __init__(
+        self,
+        *,
+        threshold: float = 0.0,
+        fake: bool = False,
+        model_path: str | None = None,
+        id2label: dict[int, str] | None = None,
+    ):
+        self.threshold = threshold
+        self.fake = fake
+        self.id2label = id2label or BERT_DEFAULT_ID2LABEL
+        self.model = None
+        self.tokenizer = None
+        if not fake:
+            try:
+                import onnxruntime  # noqa: F401
+            except ImportError as e:
+                raise NotImplementedError(
+                    "BertNERActor(fake=False) needs onnxruntime (not in this "
+                    "container); the encode/decode path is unit-tested with "
+                    "a stub session"
+                ) from e
+
+    def _extract_real(self, text: str) -> list[Mention]:
+        """Full round trip (onnx.rs:271-334): tokenize with offsets, build
+        the three (1, seq) int64 feeds, run, BIO-decode 'logits'."""
+        if not text:
+            return []
+        input_ids, offsets = self.tokenizer(text)
+        seq = len(input_ids)
+        feeds = {
+            "input_ids": np.asarray([input_ids], dtype=np.int64),
+            "attention_mask": np.ones((1, seq), dtype=np.int64),
+            "token_type_ids": np.zeros((1, seq), dtype=np.int64),
+        }
+        outputs = self.model.run(None, feeds)
+        ms = decode_bio_logits(outputs[0], text, offsets, self.id2label)
+        return [m for m in ms if m.conf >= self.threshold]
+
+    def _extract_fake(self, text: str) -> list[Mention]:
+        """Deterministic stand-in: capitalized words hashed to BIO types."""
+        out: list[Mention] = []
+        pos = 0
+        for word in text.split():
+            start = text.index(word, pos)
+            pos = start + len(word)
+            clean = word.strip(".,!?;:'\"()")
+            if len(clean) > 2 and clean[0].isupper():
+                h = hashlib.blake2b(clean.lower().encode(), digest_size=2).digest()
+                lab = ("PER", "ORG", "LOC", "MISC")[h[0] % 4]
+                s = start + (len(word) - len(word.lstrip(".,!?;:'\"(")))
+                out.append(
+                    Mention(clean, lab, s, s + len(clean),
+                            round(0.6 + h[1] / 1024, 4), "bio", "bert_onnx")
+                )
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        texts = batch.column("text").to_pylist()
+        cols = {"url": [], "text": [], "label": [], "start": [], "end": [], "conf": []}
+        for url, text in zip(urls, texts):
+            ms = (
+                self._extract_fake(text or "")
+                if self.fake or self.model is None
+                else self._extract_real(text or "")
+            )
+            for m in ms:
+                cols["url"].append(url)
+                cols["text"].append(m.text)
+                cols["label"].append(m.label)
+                cols["start"].append(m.start)
+                cols["end"].append(m.end)
+                cols["conf"].append(m.conf)
+        return pa.table(
+            {
+                "url": pa.array(cols["url"], pa.string()),
+                "text": pa.array(cols["text"], pa.string()),
+                "label": pa.array(cols["label"], pa.string()),
+                "start": pa.array(cols["start"], pa.int64()),
+                "end": pa.array(cols["end"], pa.int64()),
+                "conf": pa.array(cols["conf"], pa.float64()),
+            }
+        )
+
+
+def bert_ner(
+    ds,
+    *,
+    threshold: float = 0.0,
+    fake: bool = False,
+    concurrency=(1, 4),
+    batch_size: int = 16,
+    num_cpus: float = 1,
+):
+    """(url, text) Dataset -> mention rows via the BERT actor pool (M2)."""
+    register_for_ray()
+    return ds.map_batches(
+        BertNERActor,
+        fn_constructor_kwargs={"threshold": threshold, "fake": fake},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=num_cpus,
+    )

@@ -341,3 +341,133 @@ def test_multimodal_resize_and_audio(ray_session):
         ResizeImage(fake=False).resize_impl(b"x")
     with pytest.raises(NotImplementedError):
         AudioFeatures(fake=False).features_impl(b"x", "")
+
+
+# --- M2: BERT BIO decode (onnx.rs:271-560) ------------------------------------
+
+def _bio_logits(seq: list[str], id2label=None):
+    """Build (1, seq, n_labels) logits that argmax to the given label names."""
+    import numpy as np
+
+    from anno_ray.stages.model_ner import BERT_DEFAULT_ID2LABEL
+
+    id2label = id2label or BERT_DEFAULT_ID2LABEL
+    lab2id = {v: k for k, v in id2label.items()}
+    n = len(id2label)
+    out = np.full((1, len(seq), n), -5.0, np.float32)
+    for i, lab in enumerate(seq):
+        out[0, i, lab2id[lab]] = 5.0
+    return out
+
+
+def test_bio_decode_basic_and_special_token_flush():
+    from anno_ray.stages.model_ner import decode_bio_logits
+
+    text = "John Smith works at Acme Corp"
+    #        0123456789...
+    # tokens: [CLS] John Smith works at Acme Corp [SEP]
+    offsets = [(0, 0), (0, 4), (5, 10), (11, 16), (17, 19), (20, 24), (25, 29), (0, 0)]
+    labels = ["O", "B-PER", "I-PER", "O", "O", "B-ORG", "I-ORG", "O"]
+    ms = decode_bio_logits(_bio_logits(labels), text, offsets)
+    assert [(m.text, m.label, m.start, m.end) for m in ms] == [
+        ("John Smith", "PER", 0, 10),
+        ("Acme Corp", "ORG", 20, 29),
+    ]
+    # softmax confidence of a 5-vs-(-5) argmax over 9 labels
+    import math
+
+    expect = 1.0 / (1.0 + 8 * math.exp(-10.0))
+    assert abs(ms[0].conf - expect) < 1e-3
+    # the final [SEP] (0,0) flushed the last entity; an entity open at the
+    # sequence end is also flushed (onnx.rs:548-560)
+    ms2 = decode_bio_logits(
+        _bio_logits(["B-LOC"]), "Paris", [(0, 5)]
+    )
+    assert [(m.text, m.label) for m in ms2] == [("Paris", "LOC")]
+
+
+def test_bio_adjacent_b_merge_and_i_conf_quirks():
+    from anno_ray.stages.model_ner import decode_bio_logits
+
+    text = "NewYork City"
+    # subword split: New ##York  City  — two B-LOC tokens touching
+    offsets = [(0, 3), (3, 7), (8, 12)]
+    ms = decode_bio_logits(_bio_logits(["B-LOC", "B-LOC", "I-LOC"]), text, offsets)
+    # adjacent same-type B merges (onnx.rs should_merge: start <= prev_end+1)
+    assert [(m.text, m.start, m.end) for m in ms] == [("NewYork City", 0, 12)]
+
+    # I after a DIFFERENT type flushes and opens a new entity
+    text2 = "Acme Paris"
+    ms2 = decode_bio_logits(
+        _bio_logits(["B-ORG", "I-LOC"]), text2, [(0, 4), (5, 10)]
+    )
+    assert [(m.text, m.label) for m in ms2] == [("Acme", "ORG"), ("Paris", "LOC")]
+
+    # reference discriminant quirk: ALL unknown (Other) labels share one
+    # type key, so I-GADGET extends B-WIDGET — and takes the NEW label
+    custom = {0: "O", 1: "B-WIDGET", 2: "I-GADGET"}
+    ms3 = decode_bio_logits(
+        _bio_logits(["B-WIDGET", "I-GADGET"], id2label=custom),
+        text2,
+        [(0, 4), (5, 10)],
+        id2label=custom,
+    )
+    assert [(m.text, m.label, m.start, m.end) for m in ms3] == [
+        ("Acme Paris", "GADGET", 0, 10)
+    ]
+
+
+def test_bert_actor_stub_session_and_fake_path(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    from anno_ray.stages.model_ner import BertNERActor, bert_ner
+
+    # fake path end-to-end through the Dataset stage
+    import ray.data
+
+    ds = ray.data.from_arrow(
+        pa.table({"url": ["u1"], "text": ["John Smith visited Acme Corp"]})
+    )
+    out = bert_ner(ds, fake=True).to_pandas()
+    assert len(out) >= 2 and set(out.columns) == {"url", "text", "label", "start", "end", "conf"}
+
+    # stub-session real path: feeds contract (three (1, seq) int64 feeds)
+    captured = {}
+
+    class _Stub:
+        def run(self, _names, feeds):
+            captured.update(feeds)
+            seq = feeds["input_ids"].shape[1]
+            from anno_ray.stages.model_ner import BERT_DEFAULT_ID2LABEL
+
+            out = np.full((1, seq, len(BERT_DEFAULT_ID2LABEL)), -5.0, np.float32)
+            out[:, :, 0] = 5.0  # all "O"
+            out[0, 1, 3] = 10.0  # token 1 -> B-PER
+            return [out]
+
+    actor = BertNERActor(fake=True)
+    actor.fake = False
+    actor.model = _Stub()
+
+    def toy_tokenizer(text):
+        ids, offs = [101], [(0, 0)]
+        pos = 0
+        for w in text.split():
+            s = text.index(w, pos)
+            pos = s + len(w)
+            ids.append(1000 + len(w))
+            offs.append((s, s + len(w)))
+        ids.append(102)
+        offs.append((0, 0))
+        return ids, offs
+
+    actor.tokenizer = toy_tokenizer
+    ms = actor._extract_real("Alice met Bob")
+    assert [(m.text, m.label, m.start, m.end) for m in ms] == [("Alice", "PER", 0, 5)]
+    assert set(captured) == {"input_ids", "attention_mask", "token_type_ids"}
+    seq = captured["input_ids"].shape[1]
+    for k in captured:
+        assert captured[k].shape == (1, seq) and captured[k].dtype == np.int64
+    assert captured["attention_mask"].sum() == seq
+    assert captured["token_type_ids"].sum() == 0
