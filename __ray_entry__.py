@@ -45,6 +45,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": rel.events_sessionize,
         "top_customer_per_nation": rel.top_customer_per_nation,
         "lineitem_heavy_parts": rel.lineitem_heavy_parts,
+        "events_with_prev": rel.events_with_prev,
+        "events_asof_orders": rel.events_asof_orders,
         # --- documents/text operators (SQL-oracled) ---
         "docs_by_lang": dq.docs_by_lang,
         "doc_token_stats": dq.doc_token_stats,
@@ -171,6 +173,23 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(l_quantity), 2) AS total_qty
             FROM lineitem GROUP BY l_partkey
             HAVING COUNT(*) >= 40
+        """,
+        "events_with_prev": """
+            SELECT user_id, ts, ROUND(value, 4) AS value,
+                   ROUND(LAG(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, value
+                   ), 4) AS prev_value
+            FROM events
+        """,
+        "events_asof_orders": """
+            SELECT e.user_id, e.ts,
+                   o.o_orderdate AS last_order_date,
+                   o.day_total AS last_order_total
+            FROM events e ASOF JOIN (
+                SELECT o_custkey, o_orderdate,
+                       ROUND(SUM(o_totalprice), 2) AS day_total
+                FROM orders GROUP BY o_custkey, o_orderdate
+            ) o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
         """,
         "docs_by_lang": """
             SELECT lang, COUNT(*) AS n_docs,

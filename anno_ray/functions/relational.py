@@ -468,3 +468,161 @@ def lineitem_heavy_parts(sf_dir: str, min_lines: int = 40):
         )
 
     return agg.map_batches(_having, batch_format="pyarrow")
+
+
+def events_with_prev(sf_dir: str, num_partitions: int = 256):
+    """Windowed LAG: each event annotated with the same user's previous
+    event value (NULL for a user's first event).
+
+    LAG(value) OVER (PARTITION BY user_id ORDER BY ts, value), Ray-native:
+    coarse hash partition (`user % N`) + ONE vectorized lexsort + shift per
+    partition — group-count-independent, the same idiom as sessionize."""
+    import numpy as np
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def _part(b: pa.Table) -> pa.Table:
+        uid = b.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.append_column(
+            "part", pa.array((uid % num_partitions).astype(np.int32), pa.int32())
+        )
+
+    def lag_partition(group: pa.Table) -> pa.Table:
+        uid = group.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = (
+            group.column("ts").to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype("int64")
+        )
+        val = group.column("value").to_numpy(zero_copy_only=False).astype(np.float64)
+        if len(uid) == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "ts": pa.array([], pa.timestamp("us")),
+                    "value": pa.array([], pa.float64()),
+                    "prev_value": pa.array([], pa.float64()),
+                }
+            )
+        order = np.lexsort((val, ts, uid))
+        u, t, v = uid[order], ts[order], val[order]
+        prev = np.r_[np.nan, v[:-1]]
+        new_user = np.r_[True, u[1:] != u[:-1]]
+        prev[new_user] = np.nan
+        return pa.table(
+            {
+                "user_id": pa.array(u, pa.int64()),
+                "ts": pa.array(t.astype("datetime64[us]"), pa.timestamp("us")),
+                "value": pa.array(np.round(v, 4), pa.float64()),
+                "prev_value": pa.array(
+                    [None if np.isnan(p) else round(float(p), 4) for p in prev],
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(lag_partition, batch_format="pyarrow")
+    )
+
+
+def events_asof_orders(sf_dir: str, num_partitions: int = 256):
+    """AS-OF join: each event picks the same customer's LATEST order with
+    o_orderdate <= ts (DuckDB `ASOF JOIN` semantics, inner: events with no
+    prior order are dropped). Orders are pre-aggregated per
+    (custkey, orderdate) so the as-of target is unique and deterministic.
+
+    Ray-native: tag + union the two (narrow) row sets, coarse hash
+    partition by the key, ONE vectorized lexsort per partition with orders
+    sorting before events at equal timestamps, then an index
+    forward-fill — no per-key groups, no sort of either full table."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    events = _read(sf_dir, "events", ["user_id", "ts"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
+    day_totals = (
+        orders.groupby(["o_custkey", "o_orderdate"]).aggregate(Sum("o_totalprice"))
+        .map_batches(
+            _rename({"sum(o_totalprice)": "day_total"}), batch_format="pyarrow"
+        )
+    )
+
+    def _tag_orders(b: pa.Table) -> pa.Table:
+        key = b.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        t = (
+            b.column("o_orderdate").to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype("int64")
+        )
+        tot = pc.round(pc.cast(b.column("day_total"), pa.float64()), ndigits=2)
+        return pa.table(
+            {
+                "part": pa.array((key % num_partitions).astype(np.int32), pa.int32()),
+                "key": pa.array(key, pa.int64()),
+                "t": pa.array(t, pa.int64()),
+                "tag": pa.array(np.zeros(len(key), np.int8), pa.int8()),
+                "total": tot,
+            }
+        )
+
+    def _tag_events(b: pa.Table) -> pa.Table:
+        key = b.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        t = (
+            b.column("ts").to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype("int64")
+        )
+        return pa.table(
+            {
+                "part": pa.array((key % num_partitions).astype(np.int32), pa.int32()),
+                "key": pa.array(key, pa.int64()),
+                "t": pa.array(t, pa.int64()),
+                "tag": pa.array(np.ones(len(key), np.int8), pa.int8()),
+                "total": pa.array([None] * len(key), pa.float64()),
+            }
+        )
+
+    tagged = day_totals.map_batches(_tag_orders, batch_format="pyarrow").union(
+        events.map_batches(_tag_events, batch_format="pyarrow")
+    )
+
+    def asof_partition(group: pa.Table) -> pa.Table:
+        key = group.column("key").to_numpy(zero_copy_only=False).astype(np.int64)
+        t = group.column("t").to_numpy(zero_copy_only=False).astype(np.int64)
+        tag = group.column("tag").to_numpy(zero_copy_only=False).astype(np.int8)
+        total = group.column("total").to_numpy(zero_copy_only=False).astype(np.float64)
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "ts": pa.array([], pa.timestamp("us")),
+                "last_order_date": pa.array([], pa.timestamp("us")),
+                "last_order_total": pa.array([], pa.float64()),
+            }
+        )
+        if len(key) == 0:
+            return empty
+        # orders (tag 0) sort before events (tag 1) at equal time: an order
+        # AT the event timestamp is visible to the event (<=, ASOF JOIN)
+        order = np.lexsort((tag, t, key))
+        k, tt, tg, tot = key[order], t[order], tag[order], total[order]
+        n = len(k)
+        idx = np.where(tg == 0, np.arange(n), -1)
+        last = np.maximum.accumulate(idx)
+        ev = tg == 1
+        valid = ev & (last >= 0)
+        valid[valid] &= k[last[valid]] == k[valid]  # never cross a key boundary
+        if not valid.any():
+            return empty
+        return pa.table(
+            {
+                "user_id": pa.array(k[valid], pa.int64()),
+                "ts": pa.array(tt[valid].astype("datetime64[us]"), pa.timestamp("us")),
+                "last_order_date": pa.array(
+                    tt[last[valid]].astype("datetime64[us]"), pa.timestamp("us")
+                ),
+                "last_order_total": pa.array(np.round(tot[last[valid]], 2), pa.float64()),
+            }
+        )
+
+    return tagged.groupby("part").map_groups(asof_partition, batch_format="pyarrow")
