@@ -37,7 +37,8 @@ from ..core.normalize import normalize_entity_name
 from ..ray_utils import register_for_ray
 from ..state import manifests as mf
 from ..stages import canonicalize as canon
-from ..stages.extract import extract_batch
+from ..stages.extract import _explode, extract_batch
+from ..state.writer import spill_batch
 
 _PAGE_COLUMNS = ["url", "html", "lang"]
 
@@ -67,8 +68,6 @@ class ExtractShard:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.parquet as pq
-
-        from ..stages.extract import _explode
 
         paths = batch.column("path").to_pylist()
         pids = batch.column("pid").to_pylist()
@@ -422,26 +421,34 @@ class EdgeRows:
             return f"{label.lower()}:{s.replace(' ', '_')}"
         return f"text:{s.replace(' ', '_')}"
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        subjs = batch.column("subj").to_pylist()
-        objs = batch.column("obj").to_pylist()
-        subj_labels = batch.column("subj_label").to_pylist()
-        obj_labels = batch.column("obj_label").to_pylist()
+    def _endpoint_col(self, texts, labels) -> pa.Array:
+        """Vectorized endpoint resolution: dictionary-encode (text, label)
+        pairs so ``_endpoint`` (normalize + dict lookups) runs once per
+        UNIQUE pair, then ``take`` maps results back — surfaces repeat
+        heavily across a docs block, so this is ~5-20x fewer Python calls
+        than the per-row list comprehension it replaces."""
+        key = pc.binary_join_element_wise(texts, labels, "\x00")
+        if isinstance(key, pa.ChunkedArray):
+            key = key.combine_chunks()
+        d = key.dictionary_encode()
+        mapped = []
+        for k in d.dictionary.to_pylist():
+            text, _, label = k.rpartition("\x00")
+            mapped.append(
+                self._endpoint(text, _CANON_LABEL.get(label.lower(), label))
+            )
+        return pc.take(pa.array(mapped, pa.string()), d.indices)
 
-        canon_label = {"per": "PER", "org": "ORG", "loc": "LOC"}
-        src_ids = [
-            self._endpoint(s, canon_label.get(l.lower(), l)) for s, l in zip(subjs, subj_labels)
-        ]
-        dst_ids = [
-            self._endpoint(o, canon_label.get(l.lower(), l)) for o, l in zip(objs, obj_labels)
-        ]
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        src_ids = self._endpoint_col(batch.column("subj"), batch.column("subj_label"))
+        dst_ids = self._endpoint_col(batch.column("obj"), batch.column("obj_label"))
         return pa.table(
             {
-                "subj": pa.array(subjs, pa.string()),
+                "subj": batch.column("subj"),
                 "pred": batch.column("pred"),
-                "obj": pa.array(objs, pa.string()),
-                "subj_node": pa.array(src_ids, pa.string()),
-                "obj_node": pa.array(dst_ids, pa.string()),
+                "obj": batch.column("obj"),
+                "subj_node": src_ids,
+                "obj_node": dst_ids,
                 "conf": batch.column("conf"),
                 "source": batch.column("source"),
                 "url": batch.column("url"),
@@ -450,29 +457,118 @@ class EdgeRows:
 
 
 class FusedMaterialize:
-    """ONE pass over docs blocks: explodes mentions -> node partial rows
-    (returned) and triples -> canonical edges spilled by range partition
-    (side output with retry-idempotent filenames). Halves the docs reads and
-    removes a full dataset pass vs separate node/edge pipelines."""
+    """ONE pass over docs blocks: explodes mentions -> pre-aggregated node
+    partial rows spilled by node range partition, and triples -> canonical
+    edges spilled by edge range partition (both side outputs with
+    retry-idempotent filenames). Returns only a per-block row-count row, so
+    NO Ray shuffle touches the materialize stage at all — both families
+    merge from the filesystem partials (the object-store groupby this
+    replaces cost ~6 s just to move 37 MB of node partials)."""
 
-    def __init__(self, mapping: pa.Table, cuts: list[str], spill_dir: str):
+    def __init__(
+        self,
+        mapping: pa.Table,
+        cuts: list[str],
+        spill_dir: str,
+        node_cuts: list[str],
+        node_spill_dir: str,
+    ):
         import numpy as np
 
         self.node_fn = NodeRows(mapping)
         self.edge_fn = EdgeRows(mapping)
         self.cuts = np.array(cuts, dtype=object) if cuts else None
         self.spill_dir = spill_dir
+        self.node_cuts = np.array(node_cuts, dtype=object) if node_cuts else None
+        self.node_spill_dir = node_spill_dir
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..stages.extract import _explode
-        from ..state.writer import spill_batch
-
         mentions = _explode(batch.select(["url", "mentions"]), "mentions", ["url"])
         node_partial = self.node_fn(mentions)
+        spill_batch(
+            node_partial, self.node_spill_dir, "node_id", self.node_cuts, "node_id"
+        )
         triples = _explode(batch.select(["url", "triples"]), "triples", ["url"])
         edges = self.edge_fn(triples)
         spill_batch(edges, self.spill_dir, "subj_node", self.cuts, "url")
-        return node_partial
+        return pa.table(
+            {
+                "node_rows": pa.array([node_partial.num_rows], pa.int64()),
+                "edge_rows": pa.array([edges.num_rows], pa.int64()),
+            }
+        )
+
+
+def _sample_edge_cuts(
+    out_dir: str,
+    mapping: pa.Table,
+    *,
+    sample_files: int = 8,
+    rows_per_part: int = 200_000,
+    max_parts: int = 256,
+) -> tuple[list[str], int]:
+    """Volume-weighted range cuts for the materialize stage, from a
+    DETERMINISTIC sample of docs partitions (every k-th part file by sorted
+    name — independent of cluster size, so resumed runs and different
+    num_cpus produce byte-identical output).
+
+    Samples the actual subj_node distribution instead of cutting the
+    canonical-id universe evenly: edge volume is heavily skewed (hub
+    entities; the date:/email:/text: endpoint families sort entirely past
+    the coref_ id range), and unweighted cuts left 30% of all edge rows in
+    the final partition. Returns (cuts, n_parts)."""
+    import glob as _glob
+
+    import numpy as np
+    import ray
+
+    files = sorted(
+        _glob.glob(os.path.join(out_dir, "docs", "part=*", "data.parquet"))
+    )
+    if not files:
+        return [], 1
+    step = max(1, len(files) // sample_files)
+    sampled = files[::step][:sample_files]
+    map_ref = ray.put(mapping)
+
+    @ray.remote
+    def _subj_counts(path: str):
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(path, columns=["url", "triples"])
+        tr = _explode(t, "triples", ["url"])
+        if tr.num_rows == 0:
+            return [], [], 0
+        ef = EdgeRows(map_ref)
+        sn = ef._endpoint_col(tr.column("subj"), tr.column("subj_label"))
+        vc = sn.value_counts()
+        return (
+            vc.field("values").to_pylist(),
+            vc.field("counts").to_pylist(),
+            tr.num_rows,
+        )
+
+    register_for_ray()
+    parts = ray.get([_subj_counts.remote(p) for p in sampled])
+    counts: dict[str, int] = {}
+    sampled_rows = 0
+    for keys, cnts, n in parts:
+        sampled_rows += n
+        for k, c in zip(keys, cnts):
+            counts[k] = counts.get(k, 0) + c
+    if not counts:
+        return [], 1
+    est_total = int(sampled_rows * (len(files) / max(1, len(sampled))))
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        ncpu = 8
+    n_parts = int(min(max_parts, max(ncpu, est_total // rows_per_part + 1)))
+    from ..state.writer import weighted_boundaries
+
+    ks = list(counts.keys())
+    cuts = weighted_boundaries(ks, [counts[k] for k in ks], n_parts)
+    return cuts, len(cuts) + 1
 
 
 def _mapping_row_hashes(b: pa.Table) -> pa.Table:
@@ -526,59 +622,129 @@ def run_materialize_stage(out_dir: str, mapping) -> dict:
     return _run_materialize_joined(out_dir, canon._as_dataset(mapping))
 
 
+def _combine_node_partials(tbl: pa.Table) -> pa.Table:
+    """Final node combine for one range partition: Arrow's native hash
+    aggregation (min/min/sum/min — same semantics as the Ray
+    ``groupby(node_id).aggregate(Min, Min, Sum, Min)`` this replaces, which
+    spent ~280 CPU-seconds on 561k partial rows in Ray's sort-based
+    aggregate; a pandas groupby was still ~60x slower than this on string
+    mins), sorted by node_id."""
+    g = tbl.group_by("node_id").aggregate(
+        [
+            ("node_type", "min"),
+            ("name", "min"),
+            ("mentions_count", "sum"),
+            ("first_seen", "min"),
+        ]
+    )
+    names = {
+        "node_type_min": "node_type",
+        "name_min": "name",
+        "mentions_count_sum": "mentions_count",
+        "first_seen_min": "first_seen",
+    }
+    g = g.rename_columns([names.get(c, c) for c in g.column_names])
+    g = g.take(pc.sort_indices(g, sort_keys=[("node_id", "ascending")]))
+    return g.select(["node_id", "node_type", "name", "mentions_count", "first_seen"])
+
+
+def _merge_node_spills(node_spill_dir: str, out_dir: str, n_parts: int) -> dict:
+    """One task per node range partition: read partials, combine, write."""
+    import ray
+
+    @ray.remote
+    def _merge(pid: int) -> int:
+        import pyarrow.parquet as pq
+
+        pid_s = f"{pid:05d}"
+        pdir = os.path.join(node_spill_dir, f"part={pid_s}")
+        if not os.path.isdir(pdir):
+            return 0
+        files = sorted(
+            os.path.join(pdir, f) for f in os.listdir(pdir) if f.endswith(".parquet")
+        )
+        if not files:
+            return 0
+        tbl = pq.read_table(files, partitioning=None)
+        if tbl.num_rows == 0:
+            return 0
+        tbl = _combine_node_partials(tbl)
+        mf.write_partition(
+            out_dir, "nodes", pid_s, tbl,
+            inputs=[f"range<{pid_s}>"],
+            metrics={"rows": tbl.num_rows, "fingerprint": None},
+        )
+        return tbl.num_rows
+
+    written = ray.get([_merge.remote(p) for p in range(n_parts)])
+    return {
+        "stage": "nodes",
+        "partitions": n_parts,
+        "rows_written": int(sum(written)),
+        "partitions_skipped": 0,
+    }
+
+
 def _run_materialize_broadcast(out_dir: str, mapping: pa.Table) -> dict:
     """Fused single-pass materialize with broadcast-dict map-back (the
-    fastest path while the mapping fits comfortably in one actor's heap)."""
+    fastest path while the mapping fits comfortably in one actor's heap).
+
+    Partition boundaries come from a volume-weighted sample of the actual
+    edge keys (``_sample_edge_cuts``), not the canonical-id universe: the
+    sampled cuts balance edge rows across partitions (the unweighted cuts
+    left 30% of rows in one 10-second-sort straggler partition). Node rows
+    combine per range partition via ONE coarse int-keyed groupby and are
+    written directly — no Ray string-keyed Aggregate, no second spill."""
     import shutil
 
     from ..state import manifests as mfst
-    from ..state.writer import boundaries_from_keys, merge_spilled, write_sorted
+    from ..state.writer import merge_spilled
 
     register_for_ray()
-    boundary = sorted(
-        f"coref_{cid}" for cid in set(mapping.column("canonical_id").to_pylist())
-    )
-    # partition count scales with BOTH the id universe and the cluster: the
-    # merge tasks are the serial unit (per-partition total-order sort), so
-    # fewer partitions than cores leaves cores idle during phase 2
-    try:
-        import ray as _ray
+    t_s = time.time()
+    cuts, n_parts = _sample_edge_cuts(out_dir, mapping)
+    if not cuts:
+        # degenerate corpus (no triples in sample): fall back to the
+        # canonical-id universe so nodes still get a usable partitioning
+        from ..state.writer import boundaries_from_keys
 
-        ncpu = int(_ray.cluster_resources().get("CPU", 8))
-    except Exception:
-        ncpu = 8
-    n_parts = max(1, min(64, len(boundary), max(len(boundary) // 64 + 1, ncpu)))
-    cuts = boundaries_from_keys(boundary, n_parts)
+        boundary = sorted(
+            f"coref_{cid}"
+            for cid in set(mapping.column("canonical_id").to_pylist())
+        )
+        n_parts = max(1, min(8, len(boundary)))
+        cuts = boundaries_from_keys(boundary, n_parts)
+        n_parts = len(cuts) + 1
 
     spill_dir = os.path.join(out_dir, "edges", "_spill")
     shutil.rmtree(spill_dir, ignore_errors=True)
+    node_spill_dir = os.path.join(out_dir, "nodes", "_spill")
+    # nodes are always fully rewritten (resume=False semantics of the old
+    # write_sorted call) — clear stale partitions from any previous layout
+    shutil.rmtree(os.path.join(out_dir, "nodes"), ignore_errors=True)
+    # node partitions are a coarse subsample of the edge cuts (node tables
+    # are ~100x smaller than edge tables; 8-ish partitions suffice and keep
+    # the spill file count down)
+    node_stride = max(1, (len(cuts) + 7) // 8)
+    node_cuts = cuts[node_stride - 1 :: node_stride]
+    node_n_parts = len(node_cuts) + 1
 
-    docs = docs_dataset(out_dir, columns=["url", "mentions", "triples"])
-    fused = FusedMaterialize(mapping, cuts, spill_dir)
-    node_rows = docs.map_batches(fused, batch_format="pyarrow")
-
-    # nodes: small final combine + deterministic sorted write
-    from ray.data.aggregate import Min, Sum
-
-    nodes = node_rows.groupby("node_id").aggregate(
-        Min("node_type"), Min("name"), Sum("mentions_count"), Min("first_seen")
-    )
-
-    def _rename(b: pa.Table) -> pa.Table:
-        names = {
-            "min(node_type)": "node_type", "min(name)": "name",
-            "sum(mentions_count)": "mentions_count", "min(first_seen)": "first_seen",
-        }
-        return b.rename_columns([names.get(c, c) for c in b.column_names])
-
-    nodes = nodes.map_batches(_rename, batch_format="pyarrow")
-    # consuming `nodes` drives the fused pass (and hence the edge spills)
     t0 = time.time()
-    nodes_stats = write_sorted(
-        nodes, out_dir, "nodes",
-        sort_keys=["node_id"], boundary_keys=boundary, num_partitions=n_parts,
-        resume=False,
-    )
+    docs = docs_dataset(out_dir, columns=["url", "mentions", "triples"])
+    fused = FusedMaterialize(mapping, cuts, spill_dir, node_cuts, node_spill_dir)
+    # batch_size trades fused-pass granularity against spill-file count:
+    # n_tasks ~ corpus/batch_size and each task writes <= n_parts files, so
+    # bigger batches mean fewer, larger partials for the merge fan to read
+    counts = docs.map_batches(
+        fused, batch_format="pyarrow", batch_size=768
+    ).take_all()
+    rows_in = {
+        "node_rows": int(sum(r["node_rows"] for r in counts)),
+        "edge_rows": int(sum(r["edge_rows"] for r in counts)),
+    }
+    nodes_stats = _merge_node_spills(node_spill_dir, out_dir, node_n_parts)
+    shutil.rmtree(node_spill_dir, ignore_errors=True)
+    nodes_stats["rows_in"] = rows_in["node_rows"]
     t1 = time.time()
 
     fp = _materialize_fingerprint(out_dir, mapping)
@@ -601,6 +767,7 @@ def _run_materialize_broadcast(out_dir: str, mapping: pa.Table) -> dict:
     return {
         "nodes": nodes_stats, "edges": edges_stats,
         "phase_seconds": {
+            "cuts_sample": round(t0 - t_s, 2),
             "fused_pass_and_nodes": round(t1 - t0, 2),
             "edges_merge": round(t2 - t1, 2),
         },
@@ -704,8 +871,6 @@ def _node_partials(batch: pa.Table) -> pa.Table:
     """docs batch -> per-block pre-aggregated mention partials keyed for the
     mapping join: (jk, label, norm_surface, kb_id, n, first_seen). The
     per-block combiner is what keeps hot surfaces from flooding the join."""
-    from ..stages.extract import _explode
-
     m = _explode(batch.select(["url", "mentions"]), "mentions", ["url"])
     labels = m.column("label").to_pylist()
     norms = m.column("norm_surface").to_pylist()
@@ -764,8 +929,6 @@ def _node_rows_post(batch: pa.Table) -> pa.Table:
 
 def _edge_rows_jk(batch: pa.Table) -> pa.Table:
     """docs batch -> exploded triples with join keys for both endpoints."""
-    from ..stages.extract import _explode
-
     t = _explode(batch.select(["url", "triples"]), "triples", ["url"])
 
     def _jk_cols(texts, labels):

@@ -46,20 +46,52 @@ def boundaries_from_keys(keys: list[str], num_partitions: int) -> list[str]:
     return sorted(set(cuts))
 
 
+def weighted_boundaries(
+    keys: list[str], counts: list[int] | np.ndarray, num_partitions: int
+) -> list[str]:
+    """K-1 range cuts weighted by observed per-key ROW VOLUME (not just the
+    key universe): equal-frequency quantiles over the sampled distribution.
+
+    ``boundaries_from_keys`` splits the distinct-key universe evenly, which
+    balances NOTHING when row volume is skewed — in the KG materialize the
+    non-coref node-id families (date:/email:/text: endpoints) all sorted past
+    the last coref cut and one partition received 30% of all edge rows (a
+    10.4 s sort straggler at 96k pages). Sampling actual keys and cutting at
+    volume quantiles is the standard range-partitioner fix (what Spark's
+    RangePartitioner does via sampling)."""
+    if num_partitions <= 1 or not keys:
+        return []
+    ks = np.asarray(keys, dtype=object)
+    cs = np.asarray(counts, dtype=np.int64)
+    order = np.argsort(ks, kind="stable")
+    ks, cs = ks[order], cs[order]
+    cum = np.cumsum(cs)
+    total = int(cum[-1])
+    if total <= 0:
+        return []
+    cuts = []
+    for i in range(1, num_partitions):
+        idx = int(np.searchsorted(cum, (i * total) / num_partitions, side="left"))
+        if 0 < idx < len(ks):
+            cuts.append(str(ks[idx]))
+    return sorted(set(cuts))
+
+
 def _batch_tag(batch: pa.Table, key: str) -> str:
     """Deterministic per-batch tag -> idempotent spill filenames under task
     retry (a retried block overwrites its own partials instead of appending
     duplicates). Hashes EVERY key value, not a sample: two distinct batches
     with equal row counts and coincidentally equal sampled keys must not
-    collide (they would silently overwrite each other's spill files)."""
+    collide (they would silently overwrite each other's spill files).
+    One join + one hash update (vectorized) — the per-row blake2b loop this
+    replaces was ~0.2 s per 100k-row batch in the fused materialize pass."""
     import hashlib
 
     h = hashlib.blake2b(digest_size=10)
     h.update(str(batch.num_rows).encode())
-    for chunk in batch.column(key).chunks:
-        for v in chunk:
-            h.update(str(v.as_py()).encode("utf-8", "replace"))
-            h.update(b"\x00")
+    vals = pc.cast(batch.column(key), pa.string()).to_pylist()
+    joined = "\x1f".join("\x1eNULL" if v is None else v for v in vals)
+    h.update(joined.encode("utf-8", "replace"))
     return h.hexdigest()
 
 
@@ -198,9 +230,17 @@ def merge_spilled(
         if not os.path.isdir(pdir):
             tbl = None
         else:
-            files = sorted(f for f in os.listdir(pdir) if f.endswith(".parquet"))
-            tables = [pq.read_table(os.path.join(pdir, f)) for f in files]
-            tbl = pa.concat_tables(tables) if tables else None
+            files = sorted(
+                os.path.join(pdir, f)
+                for f in os.listdir(pdir)
+                if f.endswith(".parquet")
+            )
+            # threaded multi-file read (partitioning=None: the part=NNNNN
+            # dir name must not be hive-inferred as a column); file order
+            # does not matter because the sort below is a TOTAL order over
+            # all columns (only fully identical rows can tie, and those are
+            # byte-interchangeable)
+            tbl = pq.read_table(files, partitioning=None) if files else None
         if tbl is None or tbl.num_rows == 0:
             return 0
         # total deterministic order: sort keys first, then every other column
@@ -219,6 +259,25 @@ def merge_spilled(
         return tbl.num_rows
 
     pending = [p for p in range(n_parts) if f"{p:05d}" not in done]
+    # clear stale output before rewriting: a previous generation may have
+    # used a different partition layout (data-dependent cuts), so any part
+    # dir/manifest that is not a kept completed partition is removed — a
+    # pending partition that ends up EMPTY this run would otherwise leave
+    # the old generation's rows on disk
+    stage_dir = os.path.join(out_dir, stage)
+    if os.path.isdir(stage_dir):
+        keep = {f"part={pid}" for pid in (done or {})}
+        for d in os.listdir(stage_dir):
+            if d.startswith("part=") and d not in keep:
+                shutil.rmtree(os.path.join(stage_dir, d), ignore_errors=True)
+        man_dir = os.path.join(stage_dir, "_manifests")
+        if os.path.isdir(man_dir):
+            for f in os.listdir(man_dir):
+                if f.endswith(".json") and f[:-5] not in (done or {}):
+                    try:
+                        os.remove(os.path.join(man_dir, f))
+                    except OSError:
+                        pass
     written = ray.get([merge_partition.remote(p) for p in pending])
     shutil.rmtree(spill_dir, ignore_errors=True)
     return {
