@@ -434,12 +434,13 @@ def cmd_query(args) -> int:
     con = duckdb.connect()
     where = []
     if args.type:
-        where.append(f"node_type = '{args.type}'")
+        esc_t = args.type.replace("'", "''")
+        where.append(f"node_type = '{esc_t}'")
     if args.name_contains:
         esc = args.name_contains.replace("'", "''")
         where.append(f"name LIKE '%{esc}%'")
     if args.min_mentions:
-        where.append(f"mentions_count >= {args.min_mentions}")
+        where.append(f"mentions_count >= {int(args.min_mentions)}")
     sql = (
         f"SELECT node_id, node_type, name, mentions_count "
         f"FROM read_parquet('{args.kg}/nodes/part=*/data.parquet')"

@@ -508,14 +508,20 @@ def events_with_prev(sf_dir: str, num_partitions: int = 256):
         prev = np.r_[np.nan, v[:-1]]
         new_user = np.r_[True, u[1:] != u[:-1]]
         prev[new_user] = np.nan
+        # pc.round: half-away-from-zero, matching DuckDB ROUND and the
+        # sibling operators (np.round/Python round are half-to-even and
+        # would diverge from the oracle on exact .00005 ties)
+        prev_arr = pa.array(prev, pa.float64(), from_pandas=True)  # NaN -> null
         return pa.table(
             {
                 "user_id": pa.array(u, pa.int64()),
                 "ts": pa.array(t.astype("datetime64[us]"), pa.timestamp("us")),
-                "value": pa.array(np.round(v, 4), pa.float64()),
-                "prev_value": pa.array(
-                    [None if np.isnan(p) else round(float(p), 4) for p in prev],
-                    pa.float64(),
+                "value": pc.round(
+                    pa.array(v, pa.float64()), ndigits=4,
+                    round_mode="half_towards_infinity",
+                ),
+                "prev_value": pc.round(
+                    prev_arr, ndigits=4, round_mode="half_towards_infinity"
                 ),
             }
         )

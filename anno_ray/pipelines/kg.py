@@ -74,22 +74,26 @@ class ExtractShard:
         rows = []
         for path, pid in zip(paths, pids):
             t0 = time.time()
-            table = pq.read_table(path, columns=_PAGE_COLUMNS)
+            # stream row groups instead of reading the whole shard: a
+            # production 1 GB shard decompresses to several GB; iter_batches
+            # caps this worker's input residency at one 64-page batch while
+            # feeding the identical chunked-extract loop
+            pf = pq.ParquetFile(path)
             out_parts = []
-            n = table.num_rows
-            step = 64
-            for s in range(0, n, step):
+            n = pf.metadata.num_rows
+            for chunk in pf.iter_batches(batch_size=64, columns=_PAGE_COLUMNS):
                 out_parts.append(
                     extract_batch(
-                        table.slice(s, min(step, n - s)),
+                        pa.Table.from_batches([chunk]),
                         coref_strategy=self.coref_strategy,
                     )
                 )
             docs = (
                 pa.concat_tables(out_parts)
                 if out_parts
-                else extract_batch(table)
+                else extract_batch(pq.read_table(path, columns=_PAGE_COLUMNS))
             )
+            pf.close()
             # per-shard distinct-surface partial (the canonicalize stage's
             # combiner, run WHILE the mentions are already in memory): the
             # canonicalize groupby then reads these kB-sized partials

@@ -138,18 +138,36 @@ def distinct_pairs(pairs_ds, value_cols: list[str], num_partitions: int = 64):
     def _ppart(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
             return b.append_column("ppart", pa.array([], pa.int32()))
-        df = b.select(["id_a", "id_b"]).to_pandas()
-        h = pd.util.hash_pandas_object(df, index=False).to_numpy(dtype=np.uint64)
-        return b.append_column(
+        # NUL-safe partition key: pandas' object-string hashing truncates at
+        # embedded \x00 (C-string semantics) — this repo's composite ids are
+        # exactly `type\x00surface`, which would pile every pair into a few
+        # partitions. Join the id columns NUL-free first (the
+        # components.multiset_signature idiom), then hash the one column.
+        joined = pc.binary_join_element_wise(
+            pc.fill_null(pc.cast(b.column("id_a"), pa.string()), "\x1f\x1f"),
+            pc.fill_null(pc.cast(b.column("id_b"), pa.string()), "\x1f\x1f"),
+            "\x1e",
+        )
+        safe = pc.replace_substring(joined, "\x00", "\x1f")
+        h = pd.util.hash_array(
+            safe.to_numpy(zero_copy_only=False)
+        ).astype(np.uint64)
+        b = b.append_column(
             "ppart",
             pa.array((h % num_partitions).astype(np.int32), pa.int32()),
         )
+        # the escaped key rides along so the in-partition dedup is NUL-safe
+        # too: pandas drop_duplicates/factorize on raw object strings ALSO
+        # truncates at \x00 and would collapse distinct composite ids
+        return b.append_column("pkey", safe)
 
     cols = ["id_a", "id_b"] + value_cols
 
     def _distinct(group: pa.Table) -> pa.Table:
-        df = group.to_pandas().drop_duplicates(["id_a", "id_b"])
-        return pa.Table.from_pandas(df[cols], preserve_index=False)
+        keep = ~pd.Series(
+            group.column("pkey").to_numpy(zero_copy_only=False)
+        ).duplicated()
+        return group.select(cols).filter(pa.array(keep.to_numpy()))
 
     return (
         pairs_ds.map_batches(_ppart, batch_format="pyarrow")
@@ -361,7 +379,11 @@ _CC_DRIVER_MAX_PAIRS = 500_000
 
 
 def minhash_dedup_ids(
-    ds, *, max_driver_pairs: int = _CC_DRIVER_MAX_PAIRS, **kwargs
+    ds,
+    *,
+    max_driver_pairs: int = _CC_DRIVER_MAX_PAIRS,
+    return_dataset: bool | None = None,
+    **kwargs,
 ):
     """Cluster near-dup pairs (connected components) -> (doc_id, keep_id).
 
@@ -372,6 +394,14 @@ def minhash_dedup_ids(
     returns a Dataset of (doc_id, keep_id) and the pair list never touches
     the driver. keep_id = min doc id per component on BOTH paths (min-label
     propagation converges to exactly the min id), pinned equal by tests.
+
+    ``return_dataset`` pins the return TYPE independent of the data-size
+    dispatch (the default None keeps the size-dependent legacy behavior,
+    which switches type at the threshold): True always returns a Ray
+    Dataset; False always returns a sorted pa.Table — an explicit opt-in to
+    collecting the id->keep mapping on the driver, whose size scales with
+    corpus duplication density. Sort order: the Table paths are sorted by
+    doc_id; Dataset results are unsorted (sort after consuming if needed).
     """
     import ray
 
@@ -385,12 +415,21 @@ def minhash_dedup_ids(
             from .components import components_from_pairs
 
             labels = components_from_pairs(pairs_ds, id_a="id_a", id_b="id_b")
-            return labels.map_batches(
+            out_ds = labels.map_batches(
                 lambda b: pa.table(
                     {"doc_id": b.column("k"), "keep_id": b.column("label")}
                 ),
                 batch_format="pyarrow",
             )
+            if return_dataset is False:
+                tbl = pa.concat_tables(
+                    [ray.get(r) for r in out_ds.to_arrow_refs()],
+                    promote_options="permissive",
+                )
+                return tbl.take(
+                    pc.sort_indices(tbl, sort_keys=[("doc_id", "ascending")])
+                )
+            return out_ds
     tbl = pa.concat_tables(
         [ray.get(r) for r in pairs_ds.to_arrow_refs()], promote_options="permissive"
     )
@@ -411,12 +450,17 @@ def minhash_dedup_ids(
         if r not in rep or x < rep[r]:
             rep[r] = x
     rows = sorted((x, rep[uf.find(ids[x])]) for x in order)
-    return pa.table(
+    tbl = pa.table(
         {
             "doc_id": pa.array([r[0] for r in rows]),
             "keep_id": pa.array([r[1] for r in rows]),
         }
     )
+    if return_dataset:
+        import ray.data
+
+        return ray.data.from_arrow(tbl)
+    return tbl
 
 
 # --- simhash -----------------------------------------------------------------
@@ -593,7 +637,14 @@ def verify_pairs_ngram_jaccard(
 
     register_for_ray()
     pairs_is_table = isinstance(pairs, pa.Table)
-    n_pairs = pairs.num_rows if pairs_is_table else pairs.materialize().count()
+    if pairs_is_table:
+        n_pairs = pairs.num_rows
+    else:
+        # keep the materialized handle: counting a throwaway materialize()
+        # would re-execute the whole LSH banding + bucket scoring pipeline
+        # a second time when the join path consumes `pairs` below
+        pairs = pairs.materialize()
+        n_pairs = pairs.count()
 
     if n_pairs > max_broadcast_pairs:
         import ray.data

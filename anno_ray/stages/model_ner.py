@@ -490,6 +490,60 @@ def decode_bio_logits(
     return out
 
 
+def validate_tokenizer_offsets(tokenize_with_offsets, text: str) -> None:
+    """Contract check for a ``tokenize_with_offsets(text) -> (ids, offsets)``
+    implementation against the conventions the BIO decode depends on
+    (onnx.rs:277-292 ``encode(text, true)`` + ``get_offsets()``):
+
+    - ids and offsets are the same length (one offset pair per token,
+      special tokens INCLUDED — the decode relies on their (0, 0) pairs to
+      flush open entities);
+    - every offset is (start, end) with 0 <= start <= end <= len(text);
+      special tokens are exactly (0, 0); real tokens have start < end;
+    - the sequence starts and ends with a special token ([CLS]/[SEP] when
+      add_special_tokens=True);
+    - real-token offsets are non-decreasing and CHARACTER-indexed: the
+      slice text[start:end] must be non-empty and contain no leading/
+      trailing whitespace for word-piece tokens (a byte-indexed tokenizer
+      drop-in fails this on any non-ASCII text).
+
+    Raises ValueError on the first violation; call once at actor init when
+    plugging a real HF tokenizer so drift is caught before decoding."""
+    ids, offsets = tokenize_with_offsets(text)
+    if len(ids) != len(offsets):
+        raise ValueError(
+            f"ids/offsets length mismatch: {len(ids)} vs {len(offsets)}"
+        )
+    if not offsets:
+        raise ValueError("empty encoding (specials must always be present)")
+    if offsets[0] != (0, 0) or offsets[-1] != (0, 0):
+        raise ValueError(
+            f"first/last token must be special (0, 0) pairs, got "
+            f"{offsets[0]} / {offsets[-1]}"
+        )
+    prev_end = 0
+    n = len(text)
+    for i, (s, e) in enumerate(offsets):
+        if s == e:
+            if (s, e) != (0, 0):
+                raise ValueError(f"special token at {i} must be (0, 0), got {(s, e)}")
+            continue
+        if not (0 <= s < e <= n):
+            raise ValueError(f"offset {(s, e)} at {i} out of bounds for len {n}")
+        if s < prev_end - 0:
+            # overlapping tokens are allowed by HF only for specials; real
+            # tokens must advance
+            if s < prev_end and e <= prev_end:
+                raise ValueError(f"non-monotonic offsets at {i}: {(s, e)}")
+        piece = text[s:e]
+        if not piece or piece != piece.strip():
+            raise ValueError(
+                f"offset {(s, e)} at {i} does not slice a clean char span "
+                f"(got {piece!r}) — byte-indexed offsets?"
+            )
+        prev_end = e
+
+
 class BertNERActor:
     """Actor-pool BERT NER (M2): ``__init__`` holds session + tokenizer once
     per actor; ``__call__`` decodes batches. ``tokenizer`` seam:

@@ -107,32 +107,96 @@ def cosine_topk(
             batch_format="pyarrow",
             concurrency=(1, 8),
         )
-    tbl = pa.concat_tables(
-        [ray.get(r) for r in partial.to_arrow_refs()], promote_options="permissive"
+    # distributed tree-reduce combine: per-block partial top-k tables are
+    # merged in Ray tasks, fan-in _COMBINE_FANIN, until one table remains.
+    # The driver only ever holds object refs and the final q x k rows —
+    # never the blocks x q x k candidate set (which at 10^5 blocks with
+    # 1k queries would be a driver sink).
+    refs = partial.to_arrow_refs()
+    merge = ray.remote(_merge_topk_partials)
+    while len(refs) > 1:
+        refs = [
+            merge.remote(k, exclude_self, *refs[i : i + _COMBINE_FANIN])
+            for i in range(0, len(refs), _COMBINE_FANIN)
+        ]
+    top = (
+        _merge_topk_partials(k, exclude_self)
+        if not refs
+        else ray.get(merge.remote(k, exclude_self, refs[0]))
     )
-    import collections
-
-    best: dict[int, list[tuple[float, int]]] = collections.defaultdict(list)
-    for q, n, s in zip(
-        tbl.column("query_id").to_pylist(),
-        tbl.column("neighbor_id").to_pylist(),
-        tbl.column("cosine").to_pylist(),
-    ):
-        if exclude_self and q == n:
-            continue
-        best[q].append((s, n))
-    rows = []
-    for q in sorted(best):
-        # deterministic tie-break: higher cosine first, then smaller id
-        top = sorted(best[q], key=lambda t: (-round(t[0], 6), t[1]))[:k]
-        for rank, (s, n) in enumerate(top, 1):
-            rows.append((q, rank, n, round(s, 6)))
+    # finalize: q x k rows — attach ranks (already sorted by query, then
+    # by (-cosine, neighbor_id) inside each query)
+    q = top.column("query_id").to_numpy(zero_copy_only=False)
+    if len(q) == 0:
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
+    starts = np.r_[0, np.flatnonzero(q[1:] != q[:-1]) + 1]
+    lens = np.diff(np.r_[starts, len(q)])
+    ranks = np.arange(len(q)) - np.repeat(starts, lens) + 1
     return pa.table(
         {
-            "query_id": pa.array([r[0] for r in rows], pa.int64()),
-            "rank": pa.array([r[1] for r in rows], pa.int64()),
-            "neighbor_id": pa.array([r[2] for r in rows], pa.int64()),
-            "cosine": pa.array([r[3] for r in rows], pa.float64()),
+            "query_id": top.column("query_id"),
+            "rank": pa.array(ranks, pa.int64()),
+            "neighbor_id": top.column("neighbor_id"),
+            "cosine": pa.array(
+                np.round(top.column("cosine").to_numpy(zero_copy_only=False), 6),
+                pa.float64(),
+            ),
+        }
+    )
+
+
+_COMBINE_FANIN = 32
+
+
+def _merge_topk_partials(k: int, exclude_self: bool, *tables: pa.Table) -> pa.Table:
+    """Merge partial top-k tables -> top-k rows per query_id (vectorized).
+
+    Deterministic order inside each query: higher cosine first (rounded to
+    6 places for tie-stability, matching the scoring contract), then
+    smaller neighbor_id. Runs inside Ray tasks as the tree-reduce combine
+    for ``cosine_topk``."""
+    tabs = [t for t in tables if t is not None and t.num_rows]
+    if not tabs:
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
+    tbl = pa.concat_tables(tabs, promote_options="permissive").combine_chunks()
+    q = tbl.column("query_id").to_numpy(zero_copy_only=False)
+    n = tbl.column("neighbor_id").to_numpy(zero_copy_only=False)
+    s = tbl.column("cosine").to_numpy(zero_copy_only=False)
+    if exclude_self:
+        keep = q != n
+        q, n, s = q[keep], n[keep], s[keep]
+    if len(q) == 0:
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
+    order = np.lexsort((n, -np.round(s, 6), q))
+    q, n, s = q[order], n[order], s[order]
+    starts = np.r_[0, np.flatnonzero(q[1:] != q[:-1]) + 1]
+    lens = np.diff(np.r_[starts, len(q)])
+    pos = np.arange(len(q)) - np.repeat(starts, lens)
+    keep = pos < k
+    return pa.table(
+        {
+            "query_id": pa.array(q[keep], pa.int64()),
+            "neighbor_id": pa.array(n[keep], pa.int64()),
+            "cosine": pa.array(s[keep], pa.float64()),
         }
     )
 
@@ -277,6 +341,49 @@ def ivf_cosine_topk(
     )
 
 
+# candidate-doc count above which near-dup verification switches from a
+# broadcast vec dict to partitioned hash joins: at 768-d float32 a vec is
+# ~3 KB, so 100k docs = ~300 MB per worker-cached dict — past that the
+# vectors must be attached by joins, never broadcast
+_VEC_BROADCAST_MAX = 100_000
+
+# per-worker cache of the broadcast normalized-vec dict (the _SIG_DICT_CACHE
+# idiom from stages/dedup.py: ray.get of a plain dict deserializes per call)
+_VEC_DICT_CACHE: dict[str, dict] = {}
+
+
+def _cached_vec_dict(vec_ref) -> dict:
+    import ray
+
+    key = vec_ref.hex()
+    hit = _VEC_DICT_CACHE.get(key)
+    if hit is None:
+        raw = ray.get(vec_ref)
+        hit = {k: np.frombuffer(v, dtype=np.float32) for k, v in raw.items()}
+        _VEC_DICT_CACHE.clear()  # only ever one live broadcast per worker
+        _VEC_DICT_CACHE[key] = hit
+    return hit
+
+
+def _lsh_bucket_runs(group: pa.Table):
+    """Per-(table, bucket) member index arrays inside one coarse partition:
+    lexsort + run detection, no per-bucket Ray task (the repo's coarse-hash
+    idiom — a groupby over millions of tiny buckets pays seconds of
+    per-group overhead)."""
+    tables = group.column("table_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    buckets = group.column("bucket").to_numpy(zero_copy_only=False).astype(np.int64)
+    n = len(tables)
+    if n < 2:
+        return
+    order = np.lexsort((buckets, tables))
+    st, sb = tables[order], buckets[order]
+    starts = np.flatnonzero(np.r_[True, (st[1:] != st[:-1]) | (sb[1:] != sb[:-1])])
+    ends = np.r_[starts[1:], n]
+    for s, e in zip(starts, ends):
+        if e - s >= 2:
+            yield order[s:e]
+
+
 def embedding_near_dup_pairs(
     ds,
     *,
@@ -287,25 +394,51 @@ def embedding_near_dup_pairs(
     n_tables: int = 6,
     seed: int = 42,
     max_bucket: int = 1024,
+    num_partitions: int = 256,
+    max_broadcast_docs: int = _VEC_BROADCAST_MAX,
 ):
-    """Corpus self-join near-dup: LSH bucket groupby -> per-bucket cosine."""
+    """Corpus self-join near-dup via LSH buckets + cosine verification.
+
+    The bucket shuffle moves (part, id, table_id, bucket) ONLY — vector
+    payloads cross the shuffle ZERO times (they previously rode it
+    ~3 KB/row x n_tables). Below ``max_broadcast_docs`` the normalized
+    vectors are broadcast once (ray.put, per-worker cached) and buckets
+    verify against the cached matrix; above, candidate pairs are deduped
+    ids-only and the two vectors are attached by narrow partitioned hash
+    joins — the stages/dedup.py minhash two-path pattern."""
     import ray
 
     register_for_ray()
+
+    def norm_vec_rows(b: pa.Table) -> pa.Table:
+        m = _to_matrix(b.column(vec_col))
+        if m.shape[0] == 0:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()), "vec": pa.array([], pa.binary())}
+            )
+        mn = _normalize(m)
+        return pa.table(
+            {
+                id_col: b.column(id_col),
+                "vec": pa.array([mn[i].tobytes() for i in range(m.shape[0])], pa.binary()),
+            }
+        )
+
+    vecs_ds = ds.map_batches(norm_vec_rows, batch_format="pyarrow").materialize()
+    n_docs = vecs_ds.count()
 
     def band_rows(b: pa.Table) -> pa.Table:
         m = _to_matrix(b.column(vec_col))
         ids = b.column(id_col).to_pylist()
         if m.shape[0] == 0:
             return pa.table(
-                {id_col: pa.array([], pa.int64()),
+                {"part": pa.array([], pa.int32()),
+                 id_col: pa.array([], pa.int64()),
                  "table_id": pa.array([], pa.int32()),
-                 "bucket": pa.array([], pa.int64()),
-                 "vec": pa.array([], pa.binary())}
+                 "bucket": pa.array([], pa.int64())}
             )
         dim = m.shape[1]
-        out_id, out_t, out_b, out_v = [], [], [], []
-        mn = _normalize(m)
+        out_id, out_t, out_b = [], [], []
         for t in range(n_tables):
             p = _hyperplanes(dim, n_planes, seed + t)
             sig = (np.sign(m @ p.T) > 0).astype(np.uint8)
@@ -316,56 +449,121 @@ def embedding_near_dup_pairs(
             out_id.extend(ids)
             out_t.extend([t] * len(ids))
             out_b.extend(int(x) for x in buckets)
-            out_v.extend(mn[i].tobytes() for i in range(len(ids)))
+        barr = np.asarray(out_b, dtype=np.int64)
+        tarr = np.asarray(out_t, dtype=np.int64)
+        part = ((barr * np.int64(2654435761) + tarr) % num_partitions).astype(np.int32)
         return pa.table(
             {
+                "part": pa.array(part, pa.int32()),
                 id_col: pa.array(out_id, pa.int64()),
-                "table_id": pa.array(out_t, pa.int32()),
-                "bucket": pa.array(out_b, pa.int64()),
-                "vec": pa.array(out_v, pa.binary()),
+                "table_id": pa.array(tarr.astype(np.int32), pa.int32()),
+                "bucket": pa.array(barr, pa.int64()),
             }
         )
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = group.column(id_col).to_pylist()
-        vecs = np.stack(
-            [np.frombuffer(v, dtype=np.float32) for v in group.column("vec").to_pylist()]
-        ) if group.num_rows else np.zeros((0, 1), np.float32)
-        n = len(ids)
-        if n > max_bucket:
-            order = sorted(range(n), key=lambda i: ids[i])[:max_bucket]
-            ids = [ids[i] for i in order]
-            vecs = vecs[order]
-            n = max_bucket
-        a_out, b_out, s_out = [], [], []
-        if n > 1:
-            sims = vecs @ vecs.T
-            ii, jj = np.triu_indices(n, k=1)
-            hits = sims[ii, jj] >= threshold
-            for i, j, s in zip(ii[hits], jj[hits], sims[ii, jj][hits]):
-                if ids[i] == ids[j]:
-                    continue
-                lo, hi = sorted((ids[i], ids[j]))
-                a_out.append(lo)
-                b_out.append(hi)
-                s_out.append(round(float(s), 6))
-        return pa.table(
-            {
-                "id_a": pa.array(a_out, pa.int64()),
-                "id_b": pa.array(b_out, pa.int64()),
-                "cosine": pa.array(s_out, pa.float64()),
-            }
-        )
-
+    rows = ds.map_batches(band_rows, batch_format="pyarrow")
     from .dedup import distinct_pairs
 
-    pairs = (
-        ds.map_batches(band_rows, batch_format="pyarrow")
-        .groupby(["table_id", "bucket"])
-        .map_groups(bucket_pairs, batch_format="pyarrow")
+    if n_docs <= max_broadcast_docs:
+        vec_ref = ray.put(
+            {
+                i: v
+                for t in (ray.get(r) for r in vecs_ds.to_arrow_refs())
+                for i, v in zip(t.column(id_col).to_pylist(), t.column("vec").to_pylist())
+            }
+        )
+
+        def partition_pairs_verified(group: pa.Table) -> pa.Table:
+            vecs = _cached_vec_dict(vec_ref)
+            all_ids = group.column(id_col).to_pylist()
+            a_out, b_out, s_out = [], [], []
+            for members in _lsh_bucket_runs(group):
+                ids = [all_ids[i] for i in members]
+                n = len(ids)
+                if n > max_bucket:
+                    ids = sorted(ids)[:max_bucket]
+                    n = max_bucket
+                mat = np.stack([vecs[i] for i in ids])
+                sims = mat @ mat.T
+                ii, jj = np.triu_indices(n, k=1)
+                hits = sims[ii, jj] >= threshold
+                for i, j, s in zip(ii[hits], jj[hits], sims[ii, jj][hits]):
+                    if ids[i] == ids[j]:
+                        continue
+                    lo, hi = sorted((ids[i], ids[j]))
+                    a_out.append(lo)
+                    b_out.append(hi)
+                    s_out.append(round(float(s), 6))
+            return pa.table(
+                {
+                    "id_a": pa.array(a_out, pa.int64()),
+                    "id_b": pa.array(b_out, pa.int64()),
+                    "cosine": pa.array(s_out, pa.float64()),
+                }
+            )
+
+        pairs = rows.groupby("part").map_groups(
+            partition_pairs_verified, batch_format="pyarrow"
+        )
+        # cosine is a pure function of the two vectors: cross-table
+        # duplicates carry identical scores -> dedup = distributed DISTINCT
+        return distinct_pairs(pairs, ["cosine"])
+
+    # scale path: ids-only candidate pairs -> DISTINCT -> vecs via joins
+    def partition_pairs(group: pa.Table) -> pa.Table:
+        all_ids = group.column(id_col).to_pylist()
+        a_out, b_out = [], []
+        for members in _lsh_bucket_runs(group):
+            ids = [all_ids[i] for i in members]
+            n = len(ids)
+            if n > max_bucket:
+                ids = sorted(ids)[:max_bucket]
+                n = max_bucket
+            for i in range(n):
+                for j in range(i + 1, n):
+                    if ids[i] == ids[j]:
+                        continue
+                    lo, hi = sorted((ids[i], ids[j]))
+                    a_out.append(lo)
+                    b_out.append(hi)
+        return pa.table(
+            {"id_a": pa.array(a_out, pa.int64()), "id_b": pa.array(b_out, pa.int64())}
+        )
+
+    cand = rows.groupby("part").map_groups(partition_pairs, batch_format="pyarrow")
+    uniq = distinct_pairs(cand, [])
+    njoin = min(64, max(2, n_docs // 500_000 + 2))
+    vec_a = vecs_ds.map_batches(
+        lambda b: pa.table({"ja": b.column(id_col), "vec_a": b.column("vec")}),
+        batch_format="pyarrow",
     )
-    # cosine is a pure function of the two vectors: cross-table duplicates
-    # carry identical scores, so dedup = distributed DISTINCT (a grouped
-    # aggregate over millions of 1-row pair groups wastes seconds in
-    # per-group overhead)
-    return distinct_pairs(pairs, ["cosine"])
+    vec_b = vecs_ds.map_batches(
+        lambda b: pa.table({"jb": b.column(id_col), "vec_b": b.column("vec")}),
+        batch_format="pyarrow",
+    )
+    joined = uniq.join(
+        vec_a, join_type="inner", num_partitions=njoin,
+        on=("id_a",), right_on=("ja",),
+    ).join(
+        vec_b, join_type="inner", num_partitions=njoin,
+        on=("id_b",), right_on=("jb",),
+    )
+
+    def _score(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {"id_a": pa.array([], pa.int64()),
+                 "id_b": pa.array([], pa.int64()),
+                 "cosine": pa.array([], pa.float64())}
+            )
+        va = np.stack([np.frombuffer(v, np.float32) for v in b.column("vec_a").to_pylist()])
+        vb = np.stack([np.frombuffer(v, np.float32) for v in b.column("vec_b").to_pylist()])
+        sims = np.einsum("ij,ij->i", va, vb)
+        keep = sims >= threshold  # filter on RAW sims (broadcast-path parity)
+        kept = b.select(["id_a", "id_b"]).filter(pa.array(keep))
+        return kept.append_column(
+            "cosine",
+            pa.array([round(float(s), 6) for s in sims[keep]], pa.float64()),
+        )
+
+    return joined.map_batches(_score, batch_format="pyarrow")

@@ -226,3 +226,61 @@ def test_minhash_dedup_forced_distributed_matches_driver(dup_heavy_docs):
     b = dist.to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert list(a["doc_id"]) == list(b["doc_id"])
     assert list(a["keep_id"]) == list(b["keep_id"])
+
+
+def test_minhash_dedup_return_dataset_flag(dup_heavy_docs):
+    """return_dataset pins the return TYPE independent of the size dispatch
+    (a caller written against the Table API must not break only at scale)."""
+    import ray.data
+
+    from anno_ray.stages.dedup import minhash_dedup_ids
+
+    base = minhash_dedup_ids(dup_heavy_docs, threshold=0.6)
+    as_ds = minhash_dedup_ids(dup_heavy_docs, threshold=0.6, return_dataset=True)
+    assert isinstance(as_ds, ray.data.Dataset)
+    # distributed path forced, but Table demanded: collected + sorted
+    as_tbl = minhash_dedup_ids(
+        dup_heavy_docs, threshold=0.6, max_driver_pairs=0, return_dataset=False
+    )
+    assert isinstance(as_tbl, pa.Table)
+    assert as_tbl.column("doc_id").to_pylist() == base.column("doc_id").to_pylist()
+    assert as_tbl.column("keep_id").to_pylist() == base.column("keep_id").to_pylist()
+
+
+def test_distinct_pairs_nul_safe_partitioning(ray_session):
+    """Ids carrying embedded NULs (the repo's `type\\x00surface` composite-key
+    convention) must spread across partitions: pandas' raw object-string hash
+    truncates at \\x00 and would send every pair to a handful of partitions."""
+    import collections
+
+    import ray
+    import ray.data
+
+    from anno_ray.stages.dedup import distinct_pairs
+
+    n = 4000
+    ids_a = [f"PER\x00surface_{i}" for i in range(n)]
+    ids_b = [f"ORG\x00other_{i}" for i in range(n)]
+    pairs = ray.data.from_arrow(
+        pa.table({"id_a": ids_a, "id_b": ids_b, "est_jaccard": [0.9] * n})
+    )
+    out = distinct_pairs(pairs, ["est_jaccard"], num_partitions=64)
+    tbl = pa.concat_tables(
+        [ray.get(r) for r in out.to_arrow_refs()], promote_options="permissive"
+    )
+    assert tbl.num_rows == n  # all distinct, none dropped
+
+    # directly check the partition-key spread of the internal keying: rebuild
+    # the same NUL-safe hash and assert no partition hogs the rows
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    joined = pc.binary_join_element_wise(
+        pa.array(ids_a, pa.string()), pa.array(ids_b, pa.string()), "\x1e"
+    )
+    safe = pc.replace_substring(joined, "\x00", "\x1f")
+    h = pd.util.hash_array(safe.to_numpy(zero_copy_only=False)).astype(np.uint64)
+    counts = collections.Counter((h % 64).tolist())
+    assert len(counts) > 32  # NUL-truncated hashing collapses this to ~2
+    assert max(counts.values()) < n * 0.1

@@ -471,3 +471,104 @@ def test_bert_actor_stub_session_and_fake_path(ray_session):
         assert captured[k].shape == (1, seq) and captured[k].dtype == np.int64
     assert captured["attention_mask"].sum() == seq
     assert captured["token_type_ids"].sum() == 0
+
+
+def test_bert_tokenizer_offsets_contract():
+    """M2 tokenizer seam (onnx.rs:277-292): a hand-built tiny-vocab
+    WordPiece tokenizer must satisfy the offsets contract the BIO decode
+    depends on — specials as (0,0) pairs at both ends, char-indexed
+    subword offsets covering each word contiguously — and drifted
+    implementations must be REJECTED."""
+    import pytest
+
+    from anno_ray.stages.model_ner import (
+        decode_bio_logits,
+        validate_tokenizer_offsets,
+    )
+
+    VOCAB = {"[CLS]": 0, "[SEP]": 1, "un": 2, "##happ": 3, "##iness": 4,
+             "paris": 5, "in": 6, "[UNK]": 7}
+    PIECES = ["##iness", "##happ", "paris", "un", "in"]
+
+    def tiny_wordpiece(text):
+        """greedy-longest-match wordpiece with HF get_offsets() semantics."""
+        ids, offsets = [VOCAB["[CLS]"]], [(0, 0)]
+        pos = 0
+        for word in text.split():
+            start = text.index(word, pos)
+            pos = start + len(word)
+            w = word.lower()
+            i = 0
+            first = True
+            while i < len(w):
+                match = None
+                for p in sorted(PIECES, key=len, reverse=True):
+                    stem = p[2:] if p.startswith("##") else p
+                    cont = p.startswith("##")
+                    if cont == (not first) and w[i:].startswith(stem):
+                        match = (p, len(stem))
+                        break
+                if match is None:
+                    ids.append(VOCAB["[UNK]"])
+                    offsets.append((start + i, start + len(w)))
+                    break
+                ids.append(VOCAB[match[0]])
+                offsets.append((start + i, start + i + match[1]))
+                i += match[1]
+                first = False
+        ids.append(VOCAB["[SEP]"])
+        offsets.append((0, 0))
+        return ids, offsets
+
+    text = "unhappiness in Paris"
+    ids, offsets = tiny_wordpiece(text)
+    # pinned layout: [CLS] un ##happ ##iness in paris [SEP]
+    assert ids == [0, 2, 3, 4, 6, 5, 1]
+    assert offsets == [(0, 0), (0, 2), (2, 6), (6, 11), (12, 14), (15, 20), (0, 0)]
+    validate_tokenizer_offsets(tiny_wordpiece, text)
+
+    # decode integration: subword offsets must slice the right chars
+    import numpy as np
+    id2label = {0: "O", 1: "B-PER", 2: "I-PER", 3: "B-LOC", 4: "I-LOC"}
+    logits = np.full((len(ids), 5), -8.0, dtype=np.float32)
+    labels = ["O", "B-PER", "I-PER", "I-PER", "O", "B-LOC", "O"]
+    lut = {v: k for k, v in id2label.items()}
+    for ti, lab in enumerate(labels):
+        logits[ti, lut[lab]] = 8.0
+    ms = decode_bio_logits(logits, text, offsets, id2label)
+    assert [(m.text, m.label, m.start, m.end) for m in ms] == [
+        ("unhappiness", "PER", 0, 11),
+        ("Paris", "LOC", 15, 20),
+    ]
+
+    # drift 1: dropping the special-token pairs (ids/offsets still aligned
+    # but no flush markers) must be rejected
+    def no_specials(t):
+        i, o = tiny_wordpiece(t)
+        return i[1:-1], o[1:-1]
+
+    with pytest.raises(ValueError):
+        validate_tokenizer_offsets(no_specials, text)
+
+    # drift 2: byte-indexed offsets on non-ASCII text must be rejected
+    def byte_indexed(t):
+        i, o = tiny_wordpiece(t)
+        enc = t.encode("utf-8")
+        def to_bytes(cs): return len(t[:cs].encode("utf-8"))
+        return i, [
+            (0, 0) if (s, e) == (0, 0) else (to_bytes(s), to_bytes(e))
+            for s, e in o
+        ]
+
+    accented = "café in Paris"   # é shifts byte offsets off char offsets
+    with pytest.raises(ValueError):
+        validate_tokenizer_offsets(byte_indexed, accented)
+
+    # drift 3: specials reported with a non-(0,0) sentinel
+    def bad_special(t):
+        i, o = tiny_wordpiece(t)
+        o = [(1, 1) if p == (0, 0) else p for p in o]
+        return i, o
+
+    with pytest.raises(ValueError):
+        validate_tokenizer_offsets(bad_special, text)
