@@ -79,6 +79,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # End-to-end KG goldens: the per-operator stages (HTML extract, heuristic
+    # NER, events, relations, coref) are each verified char/span-exact against
+    # the COMPILED reference harnesses (tools/build_ref_harnesses.py); the
+    # full verified chain over the deterministic seed-42 sf0.01 corpus is
+    # pinned once as parquet (tools/make_kg_goldens.py) and compared here as
+    # a full row+schema+hash gate.
+    gold = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tests", "golden", "kg_oracle"
+    )
     return {
         "agg_lineitem_pricing": """
             SELECT l_returnflag, l_linestatus,
@@ -276,4 +285,23 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             )
         """,
+        # True independent oracle: DuckDB list_cosine_similarity brute-force
+        # top-k with the same round-to-6 + neighbor_id tie-break the Ray
+        # stage uses (stages/similarity.py cosine_topk).
+        "ann_cosine_topk": """
+            WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+            sims AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     list_cosine_similarity(q.embedding, c.embedding) AS cosine
+              FROM q, embeddings c WHERE c.vec_id != q.vec_id)
+            SELECT query_id, rank, neighbor_id FROM (
+              SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                         ORDER BY ROUND(cosine, 6) DESC, neighbor_id ASC) AS rank
+              FROM sims) t WHERE rank <= 5
+        """,
+        "kg_mentions": f"SELECT * FROM read_parquet('{gold}/kg_mentions.parquet')",
+        "kg_triples": f"SELECT * FROM read_parquet('{gold}/kg_triples.parquet')",
+        "kg_nodes": f"SELECT * FROM read_parquet('{gold}/kg_nodes.parquet')",
+        "kg_edges": f"SELECT * FROM read_parquet('{gold}/kg_edges.parquet')",
     }
