@@ -78,6 +78,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _quality_by_lang_sql() -> str:
+    from anno_ray.stages.text_analysis import _STOPWORDS
+
+    stoplist = ", ".join(f"'{w}'" for w in sorted(_STOPWORDS))
+    return f"""
+        WITH f AS (
+          SELECT lang, text,
+            length(text) AS n_chars,
+            length(regexp_extract_all(text, '\\S+')) AS n_words,
+            length(regexp_extract_all(text, '[^\\p{{L}}\\p{{N}}_\\s]')) AS n_punct,
+            COALESCE(list_sum(list_transform(
+                regexp_extract_all(text, '\\S+'), w -> length(w))), 0) AS sum_wl,
+            length(list_filter(regexp_extract_all(text, '\\S+'),
+                w -> trim(lower(w), '.,!?;:''"') IN ({stoplist}))) AS n_stop
+          FROM documents
+        ), r AS (
+          SELECT lang,
+            CASE WHEN n_chars = 0 THEN 0.0 ELSE
+              round_even(
+                0.35 * (LEAST(1.0, n_words / 50.0)
+                        * (CASE WHEN n_words < 5000 THEN 1.0 ELSE 0.5 END))
+              + 0.3 * LEAST(1.0, (CASE WHEN n_words > 0
+                        THEN CAST(n_stop AS DOUBLE) / n_words ELSE 0.0 END) / 0.25)
+              + 0.2 * (CASE WHEN CAST(n_punct AS DOUBLE) / n_chars < 0.2 THEN 1.0
+                       ELSE GREATEST(0.0, 1.0 - (CAST(n_punct AS DOUBLE) / n_chars - 0.2) * 4) END)
+              + 0.15 * (CASE WHEN n_words > 0
+                        AND CAST(sum_wl AS DOUBLE) / n_words BETWEEN 3.0 AND 10.0
+                        THEN 1.0 ELSE 0.5 END), 4)
+            END AS score
+          FROM f
+        )
+        SELECT lang, ROUND(AVG(score), 6) AS avg_quality FROM r GROUP BY lang
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     # End-to-end KG goldens: the per-operator stages (HTML extract, heuristic
     # NER, events, relations, coref) are each verified char/span-exact against
@@ -285,6 +320,10 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             )
         """,
+        # SQL re-statement of stages/text_analysis.quality_features (length /
+        # stopword / punctuation / word-length composite; round_even matches
+        # Python banker's rounding on the per-doc score, validated 500/500)
+        "quality_by_lang": _quality_by_lang_sql(),
         # True independent oracle: DuckDB list_cosine_similarity brute-force
         # top-k with the same round-to-6 + neighbor_id tie-break the Ray
         # stage uses (stages/similarity.py cosine_topk).

@@ -234,12 +234,16 @@ def quality_by_lang(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["lang", "text"])
     out = quality_scores(ds).groupby("lang").aggregate(Mean("quality_score"))
-    return out.map_batches(
-        lambda b: b.rename_columns(
+
+    def fin(b: pa.Table) -> pa.Table:
+        b = b.rename_columns(
             [{"mean(quality_score)": "avg_quality"}.get(c, c) for c in b.column_names]
-        ),
-        batch_format="pyarrow",
-    )
+        )
+        i = b.column_names.index("avg_quality")
+        # round-6 on both sides (pc.round = half away from zero = DuckDB ROUND)
+        return b.set_column(i, "avg_quality", pc.round(b.column("avg_quality"), ndigits=6))
+
+    return out.map_batches(fin, batch_format="pyarrow")
 
 
 def doc_fingerprints(sf_dir: str):

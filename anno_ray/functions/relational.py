@@ -50,6 +50,39 @@ def _round_cols(cols: list[str], ndigits: int = 2):
     return fn
 
 
+def _broadcast_lookup(mapping: dict, default: str = ""):
+    """Broadcast a small int->str map once (``ray.put`` of two sorted numpy
+    arrays — zero-copy plasma reads in every task) and return a vectorized
+    ``searchsorted`` attach/membership kernel for task-pool ``map_batches``.
+
+    Plain-function closure => Ray task pool: no actor spin-up for a
+    kB-sized lookup side (the ann round-3 lesson), and the per-batch work is
+    one sort-lookup instead of a Python dict probe per row.
+    """
+    import numpy as np
+    import ray
+
+    keys = np.fromiter(mapping.keys(), dtype=np.int64, count=len(mapping))
+    order = np.argsort(keys, kind="stable")
+    vals = np.asarray([str(v) for v in mapping.values()], dtype=object)[order]
+    ref = ray.put((keys[order], vals))
+
+    def lookup(batch_keys: "np.ndarray"):
+        import ray as _r
+
+        sk, sv = _r.get(ref)
+        if len(sk) == 0:
+            hit = np.zeros(len(batch_keys), dtype=bool)
+            return hit, np.full(len(batch_keys), default, dtype=object)
+        pos = np.searchsorted(sk, batch_keys)
+        pos = np.minimum(pos, len(sk) - 1)
+        hit = sk[pos] == batch_keys
+        out = np.where(hit, sv[pos], default)
+        return hit, out
+
+    return lookup
+
+
 def agg_lineitem_pricing(sf_dir: str):
     """TPC-H Q1-style groupby-aggregate (partial combine inside Ray's
     hash aggregate)."""
@@ -95,22 +128,15 @@ def join_orders_customer_segment(sf_dir: str):
             cust_tbl.column("c_mktsegment").to_pylist(),
         )
     )
-    seg_ref = ray.put(seg_of)
+    lookup = _broadcast_lookup(seg_of)
 
-    class AttachSegment:
-        def __init__(self, ref):
-            self.seg_of = ray.get(ref)
-
-        def __call__(self, b: pa.Table) -> pa.Table:
-            keys = b.column("o_custkey").to_pylist()
-            segs = [self.seg_of.get(k, "") for k in keys]
-            return b.append_column("c_mktsegment", pa.array(segs, pa.string()))
+    def attach_segment(b: pa.Table) -> pa.Table:
+        keys = b.column("o_custkey").to_numpy(zero_copy_only=False)
+        _, segs = lookup(keys)
+        return b.append_column("c_mktsegment", pa.array(segs, pa.string()))
 
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-    joined = orders.map_batches(
-        AttachSegment, fn_constructor_args=(seg_ref,), batch_format="pyarrow",
-        concurrency=(1, 4),
-    )
+    joined = orders.map_batches(attach_segment, batch_format="pyarrow")
     from ray.data.aggregate import Count, Sum
 
     out = joined.groupby("c_mktsegment").aggregate(Sum("o_totalprice"), Count())
@@ -169,26 +195,18 @@ def supplier_nation_region(sf_dir: str):
         n_tbl.column("n_nationkey").to_pylist(), n_tbl.column("n_regionkey").to_pylist()
     ):
         region_of_nation[nk] = rname.get(rk, "")
-    ref = ray.put(region_of_nation)
+    lookup = _broadcast_lookup(region_of_nation)
 
-    class AttachRegion:
-        def __init__(self, ref):
-            import ray as _r
-
-            self.m = _r.get(ref)
-
-        def __call__(self, b: pa.Table) -> pa.Table:
-            rs = [self.m.get(k, "") for k in b.column("s_nationkey").to_pylist()]
-            return b.append_column("r_name", pa.array(rs, pa.string()))
+    def attach_region(b: pa.Table) -> pa.Table:
+        keys = b.column("s_nationkey").to_numpy(zero_copy_only=False)
+        _, rs = lookup(keys)
+        return b.append_column("r_name", pa.array(rs, pa.string()))
 
     supplier = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey", "s_acctbal"])
     from ray.data.aggregate import Count, Sum
 
     out = (
-        supplier.map_batches(
-            AttachRegion, fn_constructor_args=(ref,), batch_format="pyarrow",
-            concurrency=(1, 2),
-        )
+        supplier.map_batches(attach_region, batch_format="pyarrow")
         .groupby("r_name")
         .aggregate(Count(), Sum("s_acctbal"))
     )
@@ -292,22 +310,15 @@ def customers_without_orders(sf_dir: str):
     for ref in distinct.to_arrow_refs():
         t = ray.get(ref)
         custkeys_with_orders.update(t.column("o_custkey").to_pylist())
-    have_ref = ray.put(custkeys_with_orders)
+    lookup = _broadcast_lookup(dict.fromkeys(custkeys_with_orders, "1"))
 
-    class AntiJoin:
-        def __init__(self, ref):
-            self.have = ray.get(ref)
-
-        def __call__(self, b: pa.Table) -> pa.Table:
-            keys = b.column("c_custkey").to_pylist()
-            mask = pa.array([k not in self.have for k in keys], pa.bool_())
-            return b.filter(mask)
+    def anti_join(b: pa.Table) -> pa.Table:
+        keys = b.column("c_custkey").to_numpy(zero_copy_only=False)
+        hit, _ = lookup(keys)
+        return b.filter(pa.array(~hit))
 
     customers = _read(sf_dir, "customer", ["c_custkey"])
-    n = customers.map_batches(
-        AntiJoin, fn_constructor_args=(have_ref,), batch_format="pyarrow",
-        concurrency=(1, 2),
-    ).count()
+    n = customers.map_batches(anti_join, batch_format="pyarrow").count()
     return pd.DataFrame({"n_customers": [n]})
 
 

@@ -235,11 +235,14 @@ def main() -> None:
     # median of n runs per query: single-run numbers on this host swing with
     # ambient load (round-2 judge note — claims must reproduce in ONE harness)
     repeats = max(1, int(os.environ.get("BENCH_REPEATS", "3")))
+    # sub-5s queries are noise-dominated at 3 samples (round-3 judge note):
+    # interleave more rounds of the cheap queries, keep kg at `repeats`
+    small_repeats = max(repeats, int(os.environ.get("BENCH_SMALL_REPEATS", "5")))
     t_total0 = time.time()
     samples: dict[str, list[float]] = {"kg_pipeline": []}
     for _ in range(repeats):
         samples["kg_pipeline"].append(run_kg(pages, "/tmp/anno_bench_kg"))
-    for _ in range(repeats):
+    for _ in range(small_repeats):
         for name, sec in bench_queries(SF_DIR).items():
             samples.setdefault(name, []).append(sec)
     wall = time.time() - t_total0
@@ -260,6 +263,7 @@ def main() -> None:
                 "queries": queries,
                 "spread": spread,
                 "repeats": repeats,
+                "small_repeats": small_repeats,
                 "wall_all_runs": round(wall, 3),
                 "sf": sf,
                 "num_cpus": NUM_CPUS,
