@@ -123,6 +123,9 @@ def oracle_sql() -> dict[str, str]:
     gold = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "tests", "golden", "kg_oracle"
     )
+    gold_op = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tests", "golden", "op_oracle"
+    )
     return {
         "agg_lineitem_pricing": """
             SELECT l_returnflag, l_linestatus,
@@ -343,4 +346,16 @@ def oracle_sql() -> dict[str, str]:
         "kg_triples": f"SELECT * FROM read_parquet('{gold}/kg_triples.parquet')",
         "kg_nodes": f"SELECT * FROM read_parquet('{gold}/kg_nodes.parquet')",
         "kg_edges": f"SELECT * FROM read_parquet('{gold}/kg_edges.parquet')",
+        # Deterministic non-SQL operators (seeded hyperplanes / FNV-1a
+        # minhash / fixed fixtures / fake scorers): pinned as goldens by
+        # tools/make_op_goldens.py, double-run-verified before each pin.
+        **{
+            name: f"SELECT * FROM read_parquet('{gold_op}/{name}.parquet')"
+            for name in (
+                "minhash_near_dups", "simhash_near_dups", "embedding_near_dups",
+                "minhash_dedup_keep", "multimodal_decode", "eval_ner_modes",
+                "bert_ner_mentions", "coref_quality", "kg_clusters",
+                "kg_communities",
+            )
+        },
     }

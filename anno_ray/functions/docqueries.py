@@ -191,10 +191,22 @@ def ann_ivf_topk(sf_dir: str, n_queries: int = 10, k: int = 5):
 
 
 def embedding_near_dups(sf_dir: str):
+    import ray
+
     from ..stages.similarity import embedding_near_dup_pairs
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return embedding_near_dup_pairs(ds, threshold=0.9)
+    out = embedding_near_dup_pairs(ds, threshold=0.9)
+    # contract-sized collect with a STABLE schema: Ray's empty pipelines
+    # yield column-less blocks, so an all-negative corpus (the sf0.01 case —
+    # max pairwise cosine ~0.51) must still return the typed pair table
+    schema = pa.schema(
+        [("id_a", pa.int64()), ("id_b", pa.int64()), ("cosine", pa.float64())]
+    )
+    tbls = [t for t in (ray.get(r) for r in out.to_arrow_refs()) if t.num_columns]
+    if not tbls:
+        return schema.empty_table()
+    return pa.concat_tables(tbls, promote_options="permissive")
 
 
 def minhash_near_dups(sf_dir: str):
