@@ -209,6 +209,13 @@ DRIVER_SURFACE_MAX = 2_000_000
 # of per-actor Python dict) is replaced by hash joins even if the mapping
 # arrived as a driver table.
 BROADCAST_MAP_MAX = 1_000_000
+# Below this many TOTAL bytes of per-shard surface partials the driver
+# combines them with one Arrow hash aggregate instead of a Ray all-to-all
+# (the Ray Aggregate costs ~5s of fixed scheduling overhead regardless of
+# size; 32 MB of partial parquet is a few million rows — trivially
+# driver-sized, while a 100 TB corpus's partials blow past this and take
+# the distributed branch).
+DRIVER_PARTIALS_MAX_BYTES = 32 << 20
 
 
 def run_canonicalize_stage(
@@ -261,9 +268,45 @@ def run_canonicalize_stage(
         os.path.join(out_dir, "docs", "_side", "surfaces", f"{pid}.parquet")
         for pid in sorted(done)
     ]
+    surfaces_tbl: pa.Table | None = None
     if partials and all(os.path.exists(p) for p in partials):
-        pre = _rd.read_parquet(partials)
-        surfaces_ds = pre.groupby(["entity_type", "norm_surface"]).sum("n_mentions")
+        total_bytes = sum(os.path.getsize(p) for p in partials)
+        if total_bytes <= DRIVER_PARTIALS_MAX_BYTES:
+            # the partials are kB-sized per shard BY DESIGN; combining a few
+            # MB of them through a Ray all-to-all Aggregate costs ~5s of pure
+            # scheduling overhead per run (measured: 2,601 surfaces from 128
+            # partials), so below a byte budget the driver combines them with
+            # one Arrow hash aggregate — identical math, order-normalized by
+            # the sort (every downstream consumer is order-insensitive:
+            # union-find representative is the lexicographic min, bucket caps
+            # sort before truncating)
+            import pyarrow.parquet as _pq
+
+            t = _pq.read_table(partials, partitioning=None)
+            g = t.group_by(["entity_type", "norm_surface"]).aggregate(
+                [("n_mentions", "sum")]
+            )
+            g = g.take(
+                pc.sort_indices(
+                    g,
+                    sort_keys=[
+                        ("entity_type", "ascending"),
+                        ("norm_surface", "ascending"),
+                    ],
+                )
+            )
+            surfaces_tbl = pa.table(
+                {
+                    "entity_type": g.column("entity_type"),
+                    "norm_surface": g.column("norm_surface"),
+                    "sum(n_mentions)": g.column("n_mentions_sum"),
+                }
+            )
+        else:
+            pre = _rd.read_parquet(partials)
+            surfaces_ds = pre.groupby(["entity_type", "norm_surface"]).sum(
+                "n_mentions"
+            )
     else:
         # fallback (outputs from older runs without partials)
         docs = docs_dataset(out_dir, columns=["url", "mentions"])
@@ -280,20 +323,34 @@ def run_canonicalize_stage(
         surfaces_ds = canon.surface_groups(
             ner, type_col="label", surface_col="norm_surface"
         )
-    # materialize the distinct-surface Dataset ONCE; the edge pass and the
-    # merge both consume it, avoiding a second execution of explode+groupby
-    surfaces_ds = surfaces_ds.materialize()
-    n_surfaces = surfaces_ds.count()
-    try:  # persist ds.stats() for the wide stage (observability)
-        os.makedirs(mdir, exist_ok=True)
-        with open(os.path.join(mdir, "_ray_stats.txt"), "w", encoding="utf-8") as f:
-            f.write(surfaces_ds.stats())
-    except Exception:
-        pass
+    if surfaces_tbl is not None:
+        n_surfaces = surfaces_tbl.num_rows
+        if n_surfaces > max_driver_surfaces:
+            # rare combo (tiny partial bytes but huge surface count): hand
+            # the driver-combined table back to the distributed path
+            surfaces_ds = _rd.from_arrow(surfaces_tbl).materialize()
+    else:
+        # materialize the distinct-surface Dataset ONCE; the edge pass and
+        # the merge both consume it, avoiding a second execution of
+        # explode+groupby
+        surfaces_ds = surfaces_ds.materialize()
+        n_surfaces = surfaces_ds.count()
+        try:  # persist ds.stats() for the wide stage (observability)
+            os.makedirs(mdir, exist_ok=True)
+            with open(
+                os.path.join(mdir, "_ray_stats.txt"), "w", encoding="utf-8"
+            ) as f:
+                f.write(surfaces_ds.stats())
+        except Exception:
+            pass
 
     os.makedirs(mdir, exist_ok=True)
     if n_surfaces <= max_driver_surfaces:
-        surfaces = canon.collect_surfaces(surfaces_ds)
+        surfaces = (
+            surfaces_tbl
+            if surfaces_tbl is not None
+            else canon.collect_surfaces(surfaces_ds)
+        )
         edges = canon.fuzzy_edges(surfaces, mode=mode, n_surfaces=n_surfaces)
         mapping = canon.build_canonical_map(surfaces, edges)
         pq.write_table(mapping, map_path)
