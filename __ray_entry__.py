@@ -352,6 +352,7 @@ def oracle_sql() -> dict[str, str]:
         **{
             name: f"SELECT * FROM read_parquet('{gold_op}/{name}.parquet')"
             for name in (
+                "ann_lsh_topk", "ann_ivf_topk",
                 "minhash_near_dups", "simhash_near_dups", "embedding_near_dups",
                 "minhash_dedup_keep", "multimodal_decode", "eval_ner_modes",
                 "bert_ner_mentions", "coref_quality", "kg_clusters",

@@ -26,11 +26,13 @@ GOLD_DIR = os.path.join(
     "tests", "golden", "op_oracle",
 )
 
-# Deterministic non-SQL queries worth pinning.  Excluded on purpose:
-# ann_lsh_topk / ann_ivf_topk (approximate variants whose *recall vs the
-# exact SQL-oracled ann_cosine_topk* is the meaningful gate, pinned in
-# tests); lang_detect_distribution etc. (already true-SQL-oracled).
+# Deterministic non-SQL queries worth pinning.  The two approximate ANN
+# variants are pinned as determinism regressions on top of their more
+# meaningful recall-vs-exact gates (tests/test_ops_misc.py); the already
+# true-SQL-oracled queries (lang_detect_distribution etc.) are excluded.
 CANDIDATES = [
+    "ann_lsh_topk",
+    "ann_ivf_topk",
     "minhash_near_dups",
     "simhash_near_dups",
     "embedding_near_dups",
