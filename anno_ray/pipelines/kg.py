@@ -620,11 +620,13 @@ def _sample_edge_cuts(
     if not counts:
         return [], 1
     est_total = int(sampled_rows * (len(files) / max(1, len(sampled))))
-    try:
-        ncpu = int(ray.cluster_resources().get("CPU", 8))
-    except Exception:
-        ncpu = 8
-    n_parts = int(min(max_parts, max(ncpu, est_total // rows_per_part + 1)))
+    # partition count derives from DATA VOLUME only (never cluster size):
+    # the same corpus produces the same partition layout on any cluster, so
+    # output files — not just logical content — are reproducible across
+    # cluster resizes, and a resume after scaling the cluster up/down still
+    # matches every completed partition. Floor of 8 keeps small corpora
+    # wide enough to overlap merge tasks with the fused pass.
+    n_parts = int(min(max_parts, max(8, est_total // rows_per_part + 1)))
     from ..state.writer import weighted_boundaries
 
     ks = list(counts.keys())
