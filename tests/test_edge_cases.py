@@ -1,0 +1,89 @@
+"""End-to-end robustness over degenerate corpora: empty input, single page,
+empty/None html. These exercise materialize's degenerate branches (zero
+mentions, zero edges, single spill partial) that only trigger off the happy
+path of the synthetic fixture corpus."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from anno_ray.fixtures.pages import generate_pages_table
+
+SCHEMA = generate_pages_table(0, 1).schema
+
+
+def _mk_corpus(name: str, tbl: pa.Table) -> str:
+    d = f"/tmp/anno_edge_{name}"
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    pq.write_table(tbl, os.path.join(d, "pages_00000.parquet"))
+    return d
+
+
+def _count_rows(out_dir: str, family: str) -> int:
+    files = glob.glob(os.path.join(out_dir, family, "**", "*.parquet"), recursive=True)
+    return sum(pq.read_metadata(f).num_rows for f in files)
+
+
+def _run(pages_dir: str, out_name: str, **kw) -> tuple[str, dict]:
+    from anno_ray.pipelines.kg import run_kg_pipeline
+
+    out = f"/tmp/anno_edge_out_{out_name}"
+    shutil.rmtree(out, ignore_errors=True)
+    stats = run_kg_pipeline(pages_dir, out, resume=False, **kw)
+    return out, stats
+
+
+def test_empty_corpus(ray_session):
+    """Zero input rows: pipeline completes, writes zero-row node/edge output."""
+    d = _mk_corpus("empty", SCHEMA.empty_table())
+    out, stats = _run(d, "empty")
+    assert _count_rows(out, "nodes") == 0
+    assert _count_rows(out, "edges") == 0
+    # resume over the finished empty run must be a no-op, not a crash
+    from anno_ray.pipelines.kg import run_kg_pipeline
+
+    run_kg_pipeline(d, out, resume=True)
+    assert _count_rows(out, "nodes") == 0
+
+
+def test_single_page(ray_session):
+    """A one-page corpus exercises the single-spill/single-partition path."""
+    d = _mk_corpus("single", generate_pages_table(0, 1))
+    out, stats = _run(d, "single")
+    assert _count_rows(out, "nodes") > 0
+    assert _count_rows(out, "edges") > 0
+    # node ids must still be unique in the degenerate single-partition case
+    nodes = pq.read_table(glob.glob(out + "/nodes/**/*.parquet", recursive=True)[0])
+    ids = nodes.column("node_id").to_pylist()
+    assert len(ids) == len(set(ids))
+
+
+def test_empty_and_null_html(ray_session):
+    """Rows with b'' / NULL html must flow through (empty doc), not crash."""
+    t = generate_pages_table(0, 4)
+    html = pa.array(
+        [b"", None, b"<html><body></body></html>", t.column("html")[3].as_py()],
+        pa.binary(),
+    )
+    t = t.set_column(t.schema.get_field_index("html"), "html", html)
+    d = _mk_corpus("deghtml", t)
+    out, stats = _run(d, "deghtml")
+    docs = pa.concat_tables(
+        pq.read_table(f)
+        for f in glob.glob(out + "/docs/part=*/*.parquet")
+    )
+    assert docs.num_rows == 4  # every input row produces a doc row
+    nchars = {u: x for u, x in zip(docs.column("url").to_pylist(),
+                                   docs.column("n_chars").to_pylist())}
+    urls = t.column("url").to_pylist()
+    assert nchars[urls[0]] == 0  # empty html -> empty text
+    assert nchars[urls[1]] == 0  # NULL html -> empty text
+    # only the real page contributes mentions
+    assert _count_rows(out, "nodes") > 0
