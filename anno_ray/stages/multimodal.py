@@ -1,13 +1,19 @@
 """Multimodal column processing: images/audio/video as opaque binary + metadata.
 
 The Ray-side plumbing (schemas, actor-pool signatures, small batch sizes for
-large payloads, typed metadata columns) is real and tested; the codec work is
-STUBBED because no image/audio libraries ship in this container:
+large payloads, typed metadata columns) is real and tested. Codecs come in
+two tiers:
 
-- ``DecodeImage.decode_impl`` raises ``NotImplementedError`` unless
-  ``fake=True``, in which case a deterministic fake decoder (seeded from the
-  payload hash) produces (height, width, channels) + a feature vector so the
-  pipeline shape can be exercised end to end.
+- REAL (``core/media_codecs.py``, pure numpy/stdlib): binary PPM (P6) and
+  uncompressed 24/32-bit BMP decode, bilinear resize + PPM re-encode, real
+  image features (channel stats + 3x3 layout grid + gradient energy),
+  RIFF/WAVE PCM decode via stdlib ``wave``, and a standard numpy MFCC chain
+  (Hann -> power spectrum -> mel filterbank -> log -> DCT-II). Any payload
+  that sniffs as one of these formats decodes for real with ``fake=False``.
+- GATED: compressed formats (JPEG/PNG/MP3/MP4...) need codec libraries not
+  present in this container and raise ``NotImplementedError`` unless
+  ``fake=True``, in which case a deterministic payload-hash fake keeps the
+  pipeline shape exercisable end to end (and keeps goldens stable).
 
 Design notes for 100 TB: binary payloads dominate block size -> use small
 ``batch_size`` (default 8) so batch x concurrency fits worker heaps; decode
@@ -47,8 +53,9 @@ IMAGE_FEATURES_SCHEMA = pa.schema(
 class DecodeImage:
     """Actor-pool stage: binary payload -> dims + feature vector.
 
-    Real decoders (PIL/opencv) plug into ``decode_impl``; the deterministic
-    fake keeps schema/plumbing testable in this container.
+    PPM/BMP payloads decode for real (core/media_codecs.py); compressed
+    formats need a codec library (PIL/opencv) plugged into ``decode_impl``
+    and are gated behind ``fake=True`` in this container.
     """
 
     def __init__(self, feature_dim: int = 16, fake: bool = False):
@@ -57,18 +64,31 @@ class DecodeImage:
         self.fake = fake
 
     def decode_impl(self, payload: bytes) -> tuple[int, int, int, np.ndarray]:
-        if not self.fake:
+        # fake=True always takes the stand-in (bit-stable goldens); the real
+        # path decodes ppm/bmp and gates everything else.
+        if self.fake:
+            h = hashlib.blake2b(payload, digest_size=16).digest()
+            rng = np.random.RandomState(int.from_bytes(h[:4], "big"))
+            height = 64 + int.from_bytes(h[4:6], "big") % 1024
+            width = 64 + int.from_bytes(h[6:8], "big") % 1024
+            feats = rng.randn(self.feature_dim).astype(np.float32)
+            return height, width, 3, feats
+        from ..core import media_codecs as mc
+
+        fmt = mc.sniff_format(payload)
+        if fmt == "ppm":
+            img = mc.decode_ppm(payload)
+        elif fmt == "bmp":
+            img = mc.decode_bmp(payload)
+        else:
             raise NotImplementedError(
-                "image decoding requires an image library not present in this "
-                "container; construct DecodeImage(fake=True) for the "
-                "deterministic stand-in"
+                "compressed-image decoding requires an image library not "
+                "present in this container (PPM/BMP decode for real); "
+                "construct DecodeImage(fake=True) for the deterministic "
+                "stand-in"
             )
-        h = hashlib.blake2b(payload, digest_size=16).digest()
-        rng = np.random.RandomState(int.from_bytes(h[:4], "big"))
-        height = 64 + int.from_bytes(h[4:6], "big") % 1024
-        width = 64 + int.from_bytes(h[6:8], "big") % 1024
-        feats = rng.randn(self.feature_dim).astype(np.float32)
-        return height, width, 3, feats
+        feats = mc.image_features(img, self.feature_dim)
+        return img.shape[0], img.shape[1], img.shape[2], feats
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("media_id").to_pylist()
@@ -161,6 +181,46 @@ def synthetic_media_table(n: int, seed: int = 42) -> pa.Table:
     )
 
 
+def synthetic_real_media_table(n: int, seed: int = 42) -> pa.Table:
+    """Deterministic media rows whose payloads are REAL decodable formats:
+    PPM (i % 3 == 1), BMP (i % 3 == 2), 16-bit PCM WAV (i % 3 == 0)."""
+    import json
+
+    from ..core import media_codecs as mc
+
+    rng = np.random.RandomState(seed)
+    kinds, payloads, mimes, metas = [], [], [], []
+    for i in range(n):
+        m = i % 3
+        if m == 0:
+            sr = 8000
+            dur = 0.25 + float(rng.randint(1, 8)) / 4.0
+            t = np.arange(int(sr * dur)) / sr
+            freq = float(rng.randint(100, 2000))
+            sig = (0.5 * np.sin(2 * np.pi * freq * t)).astype(np.float32)
+            kinds.append("audio")
+            payloads.append(mc.encode_wav(sig, sr))
+            mimes.append("audio/wav")
+            metas.append(json.dumps({"duration_sec": dur, "freq_hz": freq}))
+        else:
+            h = int(rng.randint(8, 96))
+            w = int(rng.randint(8, 96))
+            img = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+            kinds.append("image")
+            payloads.append(mc.encode_ppm(img) if m == 1 else mc.encode_bmp(img))
+            mimes.append("image/x-portable-pixmap" if m == 1 else "image/bmp")
+            metas.append(json.dumps({"height": h, "width": w}))
+    return pa.table(
+        {
+            "media_id": pa.array(list(range(n)), pa.int64()),
+            "kind": pa.array(kinds, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.array(mimes, pa.string()),
+            "meta": pa.array(metas, pa.string()),
+        }
+    )
+
+
 class ResizeImage:
     """Image resize stage (actor pool): payload -> resized payload + dims.
 
@@ -175,18 +235,32 @@ class ResizeImage:
         self._decoder = DecodeImage(fake=fake)
 
     def resize_impl(self, payload: bytes) -> tuple[int, int, bytes]:
-        if not self.fake:
+        if self.fake:
+            h, w, _c, _f = self._decoder.decode_impl(payload)
+            scale = min(1.0, self.max_side / max(h, w))
+            nh, nw = max(1, int(h * scale)), max(1, int(w * scale))
+            out = hashlib.blake2b(
+                payload + f"{nh}x{nw}".encode(), digest_size=32
+            ).digest()
+            return nh, nw, out
+        from ..core import media_codecs as mc
+
+        fmt = mc.sniff_format(payload)
+        if fmt == "ppm":
+            img = mc.decode_ppm(payload)
+        elif fmt == "bmp":
+            img = mc.decode_bmp(payload)
+        else:
             raise NotImplementedError(
-                "image resizing requires an image library not present in "
-                "this container; construct ResizeImage(fake=True)"
+                "compressed-image resizing requires an image library not "
+                "present in this container (PPM/BMP resize for real); "
+                "construct ResizeImage(fake=True)"
             )
-        h, w, _c, _f = self._decoder.decode_impl(payload)
+        h, w = img.shape[:2]
         scale = min(1.0, self.max_side / max(h, w))
         nh, nw = max(1, int(h * scale)), max(1, int(w * scale))
-        out = hashlib.blake2b(
-            payload + f"{nh}x{nw}".encode(), digest_size=32
-        ).digest()
-        return nh, nw, out
+        resized = mc.resize_bilinear(img, nh, nw)
+        return nh, nw, mc.encode_ppm(resized)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("media_id").to_pylist()
@@ -231,18 +305,29 @@ class AudioFeatures:
         self.fake = fake
 
     def features_impl(self, payload: bytes, meta: str) -> list[np.ndarray]:
-        if not self.fake:
-            raise NotImplementedError(
-                "audio decoding requires an audio library not present in "
-                "this container; construct AudioFeatures(fake=True)"
-            )
-        import json
+        if self.fake:
+            import json
 
-        duration = float(json.loads(meta or "{}").get("duration_sec", 1.0))
-        n_frames = max(1, int(duration / self.hop_sec))
-        h = hashlib.blake2b(payload, digest_size=8).digest()
-        rng = np.random.RandomState(int.from_bytes(h[:4], "big"))
-        return [rng.randn(self.n_mfcc).astype(np.float32) for _ in range(n_frames)]
+            duration = float(json.loads(meta or "{}").get("duration_sec", 1.0))
+            n_frames = max(1, int(duration / self.hop_sec))
+            h = hashlib.blake2b(payload, digest_size=8).digest()
+            rng = np.random.RandomState(int.from_bytes(h[:4], "big"))
+            return [
+                rng.randn(self.n_mfcc).astype(np.float32) for _ in range(n_frames)
+            ]
+        from ..core import media_codecs as mc
+
+        if mc.sniff_format(payload) != "wav":
+            raise NotImplementedError(
+                "compressed-audio decoding requires an audio library not "
+                "present in this container (RIFF/WAVE PCM decodes for real "
+                "via stdlib wave); construct AudioFeatures(fake=True)"
+            )
+        signal, sr = mc.decode_wav(payload)
+        coeffs = mc.mfcc(
+            signal, sr, n_mfcc=self.n_mfcc, hop_sec=self.hop_sec
+        )
+        return list(coeffs)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("media_id").to_pylist()
