@@ -64,6 +64,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_by_lang": dq.quality_by_lang,
         "doc_fingerprints": dq.doc_fingerprints,
         "multimodal_decode": dq.multimodal_decode,
+        "multimodal_real_decode": dq.multimodal_real_decode,
+        "audio_mfcc_frames": dq.audio_mfcc_frames,
         "eval_ner_modes": dq.eval_ner_modes,
         "bert_ner_mentions": dq.bert_ner_mentions,
         "coref_quality": dq.coref_quality,
@@ -354,7 +356,8 @@ def oracle_sql() -> dict[str, str]:
             for name in (
                 "ann_lsh_topk", "ann_ivf_topk",
                 "minhash_near_dups", "simhash_near_dups", "embedding_near_dups",
-                "minhash_dedup_keep", "multimodal_decode", "eval_ner_modes",
+                "minhash_dedup_keep", "multimodal_decode",
+                "multimodal_real_decode", "audio_mfcc_frames", "eval_ner_modes",
                 "bert_ner_mentions", "coref_quality", "kg_clusters",
                 "kg_communities",
             )

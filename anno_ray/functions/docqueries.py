@@ -347,6 +347,54 @@ def multimodal_decode(sf_dir: str):
     return out.select_columns(["media_id", "height", "width", "channels"])
 
 
+def multimodal_real_decode(sf_dir: str):
+    """REAL image decode (PPM/BMP via core/media_codecs, fake=False) over
+    deterministic synthetic payloads: exact dims + the first feature value
+    (red-channel mean, rounded for a stable pin)."""
+    import numpy as np
+    import ray.data
+
+    from ..stages.multimodal import decode_images, synthetic_real_media_table
+
+    tbl = synthetic_real_media_table(150, seed=42)
+    imgs = tbl.filter(np.isin(np.array(tbl.column("kind")), ["image"]))
+    out = decode_images(ray.data.from_arrow(imgs), fake=False)
+
+    def finish(b: pa.Table) -> pa.Table:
+        feat0 = pa.array(
+            [round(float(f[0]), 4) for f in b.column("features").to_pylist()],
+            pa.float64(),
+        )
+        return b.select(
+            ["media_id", "height", "width", "channels"]
+        ).append_column("red_mean", feat0)
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def audio_mfcc_frames(sf_dir: str):
+    """REAL WAV PCM decode + numpy MFCC (fake=False) over deterministic sine
+    clips: per-frame rows with the c0 (log-energy) coefficient rounded for a
+    stable pin. Frame counts are a pure function of each clip's duration."""
+    import numpy as np
+    import ray.data
+
+    from ..stages.multimodal import audio_features, synthetic_real_media_table
+
+    tbl = synthetic_real_media_table(150, seed=42)
+    auds = tbl.filter(np.isin(np.array(tbl.column("kind")), ["audio"]))
+    out = audio_features(ray.data.from_arrow(auds), hop_sec=0.25, fake=False)
+
+    def finish(b: pa.Table) -> pa.Table:
+        c0 = pa.array(
+            [round(float(v[0]), 3) for v in b.column("mfcc").to_pylist()],
+            pa.float64(),
+        )
+        return b.select(["media_id", "frame_idx"]).append_column("c0", c0)
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def kg_clusters(sf_dir: str):
     """Top canonical clusters by (doc_count, mention_count) over CC pages."""
     from ..stages import canonicalize as canon

@@ -38,6 +38,8 @@ CANDIDATES = [
     "embedding_near_dups",
     "minhash_dedup_keep",
     "multimodal_decode",
+    "multimodal_real_decode",
+    "audio_mfcc_frames",
     "eval_ner_modes",
     "bert_ner_mentions",
     "coref_quality",
@@ -80,8 +82,11 @@ def main() -> None:
     qs = entry.queries()
     sf_dir = "/root/testdata/sf0.01"
     os.makedirs(GOLD_DIR, exist_ok=True)
+    only = set(sys.argv[1:])  # optional: pin just the named queries
     pinned, skipped = [], []
     for name in CANDIDATES:
+        if only and name not in only:
+            continue
         t1 = _to_table(qs[name](sf_dir))
         t2 = _to_table(qs[name](sf_dir))
         if _norm(t1).equals(_norm(t2)):
