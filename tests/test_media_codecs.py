@@ -252,3 +252,70 @@ def test_unsupported_format_still_gated():
         DecodeImage(fake=False).decode_impl(b"\x89PNG\r\n\x1a\n...")
     with pytest.raises(NotImplementedError):
         AudioFeatures(fake=False).features_impl(b"ID3\x03mp3data", "{}")
+
+
+# --- property-based round-trip laws ------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from hypothesis.extra import numpy as hnp
+
+
+@st.composite
+def _images(draw):
+    h = draw(st.integers(1, 24))
+    w = draw(st.integers(1, 24))
+    return draw(hnp.arrays(np.uint8, (h, w, 3)))
+
+
+@settings(max_examples=40, deadline=None)
+@given(_images())
+def test_ppm_round_trip_property(img):
+    assert np.array_equal(mc.decode_ppm(mc.encode_ppm(img)), img)
+
+
+@settings(max_examples=40, deadline=None)
+@given(_images())
+def test_bmp_round_trip_property(img):
+    assert np.array_equal(mc.decode_bmp(mc.encode_bmp(img)), img)
+
+
+@settings(max_examples=25, deadline=None)
+@given(_images(), st.integers(1, 30), st.integers(1, 30))
+def test_resize_bounds_property(img, oh, ow):
+    out = mc.resize_bilinear(img, oh, ow)
+    assert out.shape == (oh, ow, 3) and out.dtype == np.uint8
+    # bilinear output stays inside the source value range per channel
+    for c in range(3):
+        assert out[:, :, c].min() >= img[:, :, c].min()
+        assert out[:, :, c].max() <= img[:, :, c].max()
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    hnp.arrays(
+        np.float32,
+        st.integers(0, 4000),
+        elements=st.floats(-1.0, 1.0, width=32),
+    ),
+    st.sampled_from([4000, 8000, 16000]),
+)
+def test_wav_round_trip_property(sig, sr):
+    out, out_sr = mc.decode_wav(mc.encode_wav(sig, sr))
+    assert out_sr == sr and out.shape == sig.shape
+    if sig.size:
+        assert np.abs(out - sig).max() <= 1.5 / 32768  # 16-bit quantization
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    hnp.arrays(
+        np.float32,
+        st.integers(0, 6000),
+        elements=st.floats(-1.0, 1.0, width=32),
+    ),
+)
+def test_mfcc_always_finite_property(sig):
+    out = mc.mfcc(sig, 8000, hop_sec=0.25)
+    assert out.ndim == 2 and out.shape[1] == 13
+    assert np.isfinite(out).all()
