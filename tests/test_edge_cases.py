@@ -87,3 +87,51 @@ def test_empty_and_null_html(ray_session):
     assert nchars[urls[1]] == 0  # NULL html -> empty text
     # only the real page contributes mentions
     assert _count_rows(out, "nodes") > 0
+
+
+def test_output_layout_cluster_size_independent():
+    """The materialize partition layout derives from data volume only: two
+    fresh Ray processes at different num_cpus over the same corpus must write
+    byte-identical nodes/edges parquet files (round-4 invariant — a resume
+    after resizing the cluster keeps every completed partition valid)."""
+    import hashlib
+    import subprocess
+    import sys
+
+    pages = "/tmp/anno_edge_pages_csz"
+    if not os.path.exists(os.path.join(pages, "_DONE")):
+        from anno_ray.fixtures.pages import write_pages_parquet
+
+        write_pages_parquet(pages, 120, seed=42, pages_per_file=30)
+        open(os.path.join(pages, "_DONE"), "w").close()
+
+    script = """
+import sys
+sys.path.insert(0, "/root/repo")
+import ray
+ray.init(address="local", num_cpus=int(sys.argv[1]),
+         include_dashboard=False)
+from anno_ray.pipelines.kg import run_kg_pipeline
+run_kg_pipeline(sys.argv[2], sys.argv[3], resume=False)
+ray.shutdown()
+"""
+    digests = {}
+    for ncpu in (2, 5):
+        out = f"/tmp/anno_edge_out_csz_{ncpu}"
+        shutil.rmtree(out, ignore_errors=True)
+        env = dict(os.environ, PYTHONPATH="/root/repo")
+        # fresh process so each run owns its own Ray at the given size
+        subprocess.run(
+            [sys.executable, "-c", script, str(ncpu), pages, out],
+            check=True, env=env, capture_output=True, timeout=600,
+        )
+        h = hashlib.blake2b()
+        for f in sorted(
+            glob.glob(os.path.join(out, "nodes", "**", "*.parquet"), recursive=True)
+        ) + sorted(
+            glob.glob(os.path.join(out, "edges", "**", "*.parquet"), recursive=True)
+        ):
+            h.update(os.path.relpath(f, out).encode())
+            h.update(open(f, "rb").read())
+        digests[ncpu] = h.hexdigest()
+    assert digests[2] == digests[5], digests
