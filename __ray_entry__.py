@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "union_names_count": rel.union_names_count,
         "customers_without_orders": rel.customers_without_orders,
         "events_sessionize": rel.events_sessionize,
+        "events_tumbling_window": rel.events_tumbling_window,
         "top_customer_per_nation": rel.top_customer_per_nation,
         "lineitem_heavy_parts": rel.lineitem_heavy_parts,
         "events_with_prev": rel.events_with_prev,
@@ -207,6 +208,15 @@ def oracle_sql() -> dict[str, str]:
                     )
                 ) GROUP BY user_id, session_id
             ) GROUP BY user_id
+        """,
+        "events_tumbling_window": """
+            SELECT make_timestamp((epoch_us(ts) // 21600000000) * 21600000000)
+                       AS window_start,
+                   event_type,
+                   ROUND(SUM(value), 2) AS total_value,
+                   COUNT(*) AS n_events
+            FROM events
+            GROUP BY 1, 2
         """,
         "top_customer_per_nation": """
             SELECT n.n_name, c.c_custkey, c.c_name,

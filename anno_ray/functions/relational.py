@@ -322,6 +322,57 @@ def customers_without_orders(sf_dir: str):
     return pd.DataFrame({"n_customers": [n]})
 
 
+def events_tumbling_window(sf_dir: str, hours: int = 6):
+    """Tumbling-window aggregate: epoch-aligned fixed windows over the event
+    stream, counts + value sums per (window_start, event_type).
+
+    Scale shape: the per-batch Arrow hash aggregate is the COMBINER — each
+    batch collapses to at most (windows x types) partial rows before the
+    global groupby, so the shuffle moves kB-sized partials, never raw events.
+    Window assignment is integer floor-division on the us timestamp (epoch-
+    aligned, matching DuckDB ``epoch_us // width * width``).
+    """
+    import numpy as np
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    width_us = hours * 3600 * 1_000_000
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b.column("ts").to_numpy(zero_copy_only=False)
+        us = ts.astype("datetime64[us]").astype(np.int64)
+        win = (us // width_us) * width_us
+        t = pa.table(
+            {
+                "window_start": pa.array(
+                    win.astype("datetime64[us]"), pa.timestamp("us")
+                ),
+                "event_type": b.column("event_type"),
+                "value": b.column("value"),
+            }
+        )
+        agg = t.group_by(["window_start", "event_type"]).aggregate(
+            [("value", "sum"), ("value", "count")]
+        )
+        return agg.rename_columns(
+            ["window_start", "event_type", "value_sum", "n_events"]
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["window_start", "event_type"])
+        .aggregate(Sum("value_sum"), Sum("n_events"))
+    )
+    out = out.map_batches(
+        _rename(
+            {"sum(value_sum)": "total_value", "sum(n_events)": "n_events"}
+        ),
+        batch_format="pyarrow",
+    ).map_batches(_round_cols(["total_value"], 2), batch_format="pyarrow")
+    return out.sort(["window_start", "event_type"])
+
+
 def events_sessionize(sf_dir: str, gap_minutes: int = 30, num_partitions: int = 256):
     """Stateful windowed aggregate: per-user sessions split on >gap idle.
 

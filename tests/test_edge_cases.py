@@ -135,3 +135,42 @@ ray.shutdown()
             h.update(open(f, "rb").read())
         digests[ncpu] = h.hexdigest()
     assert digests[2] == digests[5], digests
+
+
+def test_events_tumbling_window_alignment(ray_session):
+    """Hand-built events: epoch-aligned 6h windows, exact counts and sums."""
+    import datetime as dt
+
+    d = "/tmp/anno_edge_tumble"
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (base + dt.timedelta(hours=0), "a", 1.0),   # window 00:00
+        (base + dt.timedelta(hours=5, minutes=59), "a", 2.0),  # window 00:00
+        (base + dt.timedelta(hours=6), "a", 4.0),   # window 06:00 (boundary)
+        (base + dt.timedelta(hours=7), "b", 8.0),   # window 06:00
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "ts": pa.array([r[0] for r in rows], pa.timestamp("us")),
+                "event_type": pa.array([r[1] for r in rows]),
+                "value": pa.array([r[2] for r in rows]),
+            }
+        ),
+        os.path.join(d, "events.parquet"),
+    )
+    from anno_ray.functions.relational import events_tumbling_window
+
+    got = events_tumbling_window(d, hours=6).to_pandas()
+    got["window_start"] = got["window_start"].astype("datetime64[us]")
+    expect = {
+        (base, "a"): (3.0, 2),
+        (base + dt.timedelta(hours=6), "a"): (4.0, 1),
+        (base + dt.timedelta(hours=6), "b"): (8.0, 1),
+    }
+    assert len(got) == 3
+    for _, r in got.iterrows():
+        key = (r["window_start"].to_pydatetime(), r["event_type"])
+        assert expect[key] == (r["total_value"], r["n_events"]), (key, r)
