@@ -44,6 +44,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": rel.customers_without_orders,
         "events_sessionize": rel.events_sessionize,
         "events_tumbling_window": rel.events_tumbling_window,
+        "lineitem_price_quantiles": rel.lineitem_price_quantiles,
         "top_customer_per_nation": rel.top_customer_per_nation,
         "lineitem_heavy_parts": rel.lineitem_heavy_parts,
         "events_with_prev": rel.events_with_prev,
@@ -208,6 +209,13 @@ def oracle_sql() -> dict[str, str]:
                     )
                 ) GROUP BY user_id, session_id
             ) GROUP BY user_id
+        """,
+        "lineitem_price_quantiles": """
+            SELECT UNNEST([0.25, 0.5, 0.9, 0.99]) AS q,
+                   ROUND(UNNEST(vals), 4) AS value
+            FROM (SELECT quantile_cont(
+                      l_extendedprice, [0.25, 0.5, 0.9, 0.99]) AS vals
+                  FROM lineitem)
         """,
         "events_tumbling_window": """
             SELECT make_timestamp((epoch_us(ts) // 21600000000) * 21600000000)

@@ -322,6 +322,25 @@ def customers_without_orders(sf_dir: str):
     return pd.DataFrame({"n_customers": [n]})
 
 
+def lineitem_price_quantiles(sf_dir: str):
+    """Exact interpolated quantiles of l_extendedprice via the distributed
+    histogram-narrowing operator (stages/quantiles.py) — no global sort, no
+    driver materialization."""
+    from ..stages.quantiles import column_quantiles
+
+    qs = (0.25, 0.5, 0.9, 0.99)
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    got = column_quantiles(ds, "l_extendedprice", qs)
+    return pa.table(
+        {
+            "q": pa.array(list(qs), pa.float64()),
+            "value": pa.array(
+                [round(got[q], 4) for q in qs], pa.float64()
+            ),
+        }
+    )
+
+
 def events_tumbling_window(sf_dir: str, hours: int = 6):
     """Tumbling-window aggregate: epoch-aligned fixed windows over the event
     stream, counts + value sums per (window_start, event_type).
