@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": dq.doc_fingerprints,
         "multimodal_decode": dq.multimodal_decode,
         "multimodal_real_decode": dq.multimodal_real_decode,
+        "distinct_counts_hll": dq.distinct_counts_hll,
         "audio_mfcc_frames": dq.audio_mfcc_frames,
         "eval_ner_modes": dq.eval_ner_modes,
         "bert_ner_mentions": dq.bert_ner_mentions,
@@ -375,7 +376,8 @@ def oracle_sql() -> dict[str, str]:
                 "ann_lsh_topk", "ann_ivf_topk",
                 "minhash_near_dups", "simhash_near_dups", "embedding_near_dups",
                 "minhash_dedup_keep", "multimodal_decode",
-                "multimodal_real_decode", "audio_mfcc_frames", "eval_ner_modes",
+                "multimodal_real_decode", "audio_mfcc_frames",
+                "distinct_counts_hll", "eval_ner_modes",
                 "bert_ner_mentions", "coref_quality", "kg_clusters",
                 "kg_communities",
             )

@@ -347,6 +347,35 @@ def multimodal_decode(sf_dir: str):
     return out.select_columns(["media_id", "height", "width", "channels"])
 
 
+def distinct_counts_hll(sf_dir: str):
+    """HyperLogLog approximate COUNT(DISTINCT) over three columns of
+    different cardinality regimes. Deterministic (fixed hash, p=14), so
+    golden-pinned; accuracy vs exact is separately gated in
+    tests/test_sketches.py (~0.8% expected error at p=14)."""
+    import ray.data
+
+    from ..stages.sketches import hll_count_distinct
+
+    specs = [
+        ("events", "user_id"),
+        ("documents", "lang"),
+        ("lineitem", "l_partkey"),
+    ]
+    names, ests = [], []
+    for table, col in specs:
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, f"{table}.parquet"), columns=[col]
+        )
+        names.append(f"{table}.{col}")
+        ests.append(int(round(hll_count_distinct(ds, col))))
+    return pa.table(
+        {
+            "column": pa.array(names, pa.string()),
+            "approx_distinct": pa.array(ests, pa.int64()),
+        }
+    )
+
+
 def multimodal_real_decode(sf_dir: str):
     """REAL image decode (PPM/BMP via core/media_codecs, fake=False) over
     deterministic synthetic payloads: exact dims + the first feature value

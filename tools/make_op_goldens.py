@@ -40,6 +40,7 @@ CANDIDATES = [
     "multimodal_decode",
     "multimodal_real_decode",
     "audio_mfcc_frames",
+    "distinct_counts_hll",
     "eval_ner_modes",
     "bert_ner_mentions",
     "coref_quality",
