@@ -45,6 +45,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": rel.events_sessionize,
         "events_tumbling_window": rel.events_tumbling_window,
         "lineitem_price_quantiles": rel.lineitem_price_quantiles,
+        "events_value_median_by_type": rel.events_value_median_by_type,
         "top_customer_per_nation": rel.top_customer_per_nation,
         "lineitem_heavy_parts": rel.lineitem_heavy_parts,
         "events_with_prev": rel.events_with_prev,
@@ -217,6 +218,10 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT quantile_cont(
                       l_extendedprice, [0.25, 0.5, 0.9, 0.99]) AS vals
                   FROM lineitem)
+        """,
+        "events_value_median_by_type": """
+            SELECT event_type, ROUND(median(value), 4) AS median_value
+            FROM events GROUP BY event_type
         """,
         "events_tumbling_window": """
             SELECT make_timestamp((epoch_us(ts) // 21600000000) * 21600000000)

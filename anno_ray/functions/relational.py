@@ -322,6 +322,71 @@ def customers_without_orders(sf_dir: str):
     return pd.DataFrame({"n_customers": [n]})
 
 
+def events_value_median_by_type(sf_dir: str, num_partitions: int = 32):
+    """Exact per-group median (quantile_cont 0.5) of value per event_type.
+
+    Groups are co-located by coarse hash partition (complete types per
+    partition) and each partition computes every contained type's median in
+    ONE vectorized lexsort pass — the house idiom, group-count-independent.
+    Co-location implies a type's values fit one worker; for unbounded
+    per-group volumes compose ``stages.quantiles.column_quantiles`` per
+    group instead (histogram narrowing needs no co-location).
+    """
+    import numpy as np
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def _part(b: pa.Table) -> pa.Table:
+        et = pd.util.hash_array(
+            np.asarray(b.column("event_type").to_pandas(), dtype=object)
+        ).astype(np.uint64)
+        return b.append_column(
+            "part", pa.array((et % num_partitions).astype(np.int32), pa.int32())
+        )
+
+    def medians_partition(group: pa.Table) -> pa.Table:
+        et = np.asarray(group.column("event_type").to_pandas(), dtype=object)
+        val = group.column("value").to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        if len(et) == 0:
+            return pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "median_value": pa.array([], pa.float64()),
+                }
+            )
+        codes, uniques = pd.factorize(et, sort=True)
+        order = np.lexsort((val, codes))
+        c, v = codes[order], val[order]
+        starts = np.searchsorted(c, np.arange(len(uniques)))
+        ends = np.append(starts[1:], len(c))
+        meds = []
+        for s, e in zip(starts, ends):
+            g = v[s:e]
+            r = (len(g) - 1) / 2.0
+            k = int(np.floor(r))
+            meds.append(
+                float(g[k]) if r == k else float(g[k] + (r - k) * (g[k + 1] - g[k]))
+            )
+        return pa.table(
+            {
+                "event_type": pa.array(list(uniques), pa.string()),
+                "median_value": pa.array(
+                    [round(m, 4) for m in meds], pa.float64()
+                ),
+            }
+        )
+
+    out = (
+        ds.map_batches(_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(medians_partition, batch_format="pyarrow")
+    )
+    return out.sort("event_type")
+
+
 def lineitem_price_quantiles(sf_dir: str):
     """Exact interpolated quantiles of l_extendedprice via the distributed
     histogram-narrowing operator (stages/quantiles.py) — no global sort, no

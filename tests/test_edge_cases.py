@@ -174,3 +174,25 @@ def test_events_tumbling_window_alignment(ray_session):
     for _, r in got.iterrows():
         key = (r["window_start"].to_pydatetime(), r["event_type"])
         assert expect[key] == (r["total_value"], r["n_events"]), (key, r)
+
+
+def test_events_value_median_by_type_interpolation(ray_session):
+    """Hand-built groups: odd size (exact middle) and even size
+    (interpolated), matching DuckDB median/quantile_cont semantics."""
+    d = "/tmp/anno_edge_median"
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    pq.write_table(
+        pa.table(
+            {
+                "event_type": pa.array(["a", "a", "a", "b", "b", "b", "b"]),
+                "value": pa.array([3.0, 1.0, 2.0, 10.0, 40.0, 20.0, 30.0]),
+            }
+        ),
+        os.path.join(d, "events.parquet"),
+    )
+    from anno_ray.functions.relational import events_value_median_by_type
+
+    got = events_value_median_by_type(d).to_pandas()
+    meds = dict(zip(got["event_type"], got["median_value"]))
+    assert meds == {"a": 2.0, "b": 25.0}
