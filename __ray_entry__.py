@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_stats": dq.doc_token_stats,
         "dedup_docs_exact": dq.dedup_docs_exact,
         "top_words": dq.top_words,
+        "top_words_sketch": dq.top_words_sketch,
         "docs_containing_word": dq.docs_containing_word,
         # --- similarity / dedup / analysis (non-SQL -> rows-only) ---
         "ann_cosine_topk": dq.ann_cosine_topk,
@@ -281,6 +282,12 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "top_words": """
+            SELECT word, COUNT(*) AS n FROM (
+                SELECT LOWER(UNNEST(regexp_extract_all(text, '\\S+'))) AS word
+                FROM documents
+            ) GROUP BY word ORDER BY n DESC, word ASC LIMIT 20
+        """,
+        "top_words_sketch": """
             SELECT word, COUNT(*) AS n FROM (
                 SELECT LOWER(UNNEST(regexp_extract_all(text, '\\S+'))) AS word
                 FROM documents

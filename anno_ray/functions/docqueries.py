@@ -347,6 +347,110 @@ def multimodal_decode(sf_dir: str):
     return out.select_columns(["media_id", "height", "width", "channels"])
 
 
+def top_words_sketch(sf_dir: str, k: int = 20, block_k: int = 512, slack: int = 64):
+    """CERTIFIED sketch top-k: exact top-k words without shuffling the full
+    vocabulary.
+
+    Pass 1 truncates each block's word counts to its top ``block_k`` entries
+    and records the largest DROPPED count as that block's error bound; the
+    groupby-sum over truncated partials yields lower-bound counts and a
+    global bound B = sum of per-block bounds (any word's true count exceeds
+    its lower bound by at most B). Pass 2 exactly recounts only the top
+    ``k + slack`` candidates (broadcast set, combiner partials). The result
+    is CERTIFIED equal to the exact top-k iff the k-th candidate's exact
+    count strictly exceeds threshold + B, where threshold is the best
+    possible lower bound of any non-candidate; otherwise it falls back to
+    the exact full groupby (same output contract either way, so the SQL
+    oracle is the plain GROUP BY/ORDER BY/LIMIT).
+
+    Scale shape: the shuffle moves <= block_k + 1 rows per block in pass 1
+    and <= k + slack rows per block in pass 2 — never the full vocabulary.
+    """
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial_kernel(b: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in b.column("text").to_pylist():
+            c.update(w.lower() for w in _TOKEN_RE.findall(t or ""))
+        # top block_k by (count desc, word asc); bound = best dropped count
+        items = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        kept, dropped = items[:block_k], items[block_k:]
+        bound = dropped[0][1] if dropped else 0
+        # "" cannot be a \S+ token -> safe marker row for the block bound
+        # (Ray's groupby sort rejects None keys)
+        words = [w for w, _ in kept] + [""]
+        ns = [n for _, n in kept] + [0]
+        bounds = [0] * len(kept) + [bound]
+        return pa.table(
+            {
+                "word": pa.array(words, pa.string()),
+                "n": pa.array(ns, pa.int64()),
+                "bound": pa.array(bounds, pa.int64()),
+            }
+        )
+
+    lower = (
+        ds.map_batches(partial_kernel, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("n"), Sum("bound"))
+        .take_all()
+    )  # <= blocks x block_k words; at huge scale take top-N via sort+limit
+    total_bound = sum(r["sum(bound)"] for r in lower if r["word"] == "")
+    ranked = sorted(
+        (r for r in lower if r["word"] != ""),
+        key=lambda r: (-r["sum(n)"], r["word"]),
+    )
+    cand = [r["word"] for r in ranked[: k + slack]]
+    threshold = ranked[k + slack]["sum(n)"] if len(ranked) > k + slack else 0
+
+    cand_set = set(cand)
+
+    def exact_kernel(b: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in b.column("text").to_pylist():
+            c.update(
+                w
+                for w in (w.lower() for w in _TOKEN_RE.findall(t or ""))
+                if w in cand_set
+            )
+        toks = sorted(c)
+        return pa.table(
+            {
+                "word": pa.array(toks, pa.string()),
+                "n": pa.array([c[t] for t in toks], pa.int64()),
+            }
+        )
+
+    exact = (
+        ds.map_batches(exact_kernel, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("n"))
+        .take_all()
+    )
+    exact_ranked = sorted(exact, key=lambda r: (-r["sum(n)"], r["word"]))[:k]
+    certified = (
+        len(exact_ranked) == k
+        and exact_ranked[-1]["sum(n)"] > threshold + total_bound
+    ) or (
+        # exhaustive candidates: nothing was dropped anywhere AND every
+        # surviving word is in the candidate set
+        total_bound == 0 and len(ranked) <= k + slack
+    )
+    if not certified:
+        # bound too loose for this data/block_k: exact fallback, same contract
+        return top_words(sf_dir, k)
+    return pa.table(
+        {
+            "word": pa.array([r["word"] for r in exact_ranked], pa.string()),
+            "n": pa.array([r["sum(n)"] for r in exact_ranked], pa.int64()),
+        }
+    )
+
+
 def distinct_counts_hll(sf_dir: str):
     """HyperLogLog approximate COUNT(DISTINCT) over three columns of
     different cardinality regimes. Deterministic (fixed hash, p=14), so

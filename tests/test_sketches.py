@@ -85,3 +85,18 @@ def test_hll_empty(ray_session):
 
     est = hll_count_distinct(_ds(pa.array([], pa.string()), parts=0), "id")
     assert est == 0.0
+
+
+def test_top_words_sketch_matches_exact(ray_session):
+    """Certified sketch path and exact path agree; a degenerate block_k that
+    can't certify falls back and still agrees."""
+    from anno_ray.functions.docqueries import top_words, top_words_sketch
+
+    sf = "/root/testdata/sf0.001"
+    exact = top_words(sf).to_pandas().reset_index(drop=True)
+    sketch = top_words_sketch(sf).to_pandas().reset_index(drop=True)
+    assert sketch.equals(exact)
+    # block_k=1 drops nearly everything: bound blows up -> exact fallback
+    fallback = top_words_sketch(sf, block_k=1, slack=2)
+    fallback = fallback.to_pandas().reset_index(drop=True)
+    assert fallback.equals(exact)
