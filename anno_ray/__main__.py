@@ -365,6 +365,38 @@ def cmd_analyze(args) -> int:
     return 0
 
 
+def cmd_corpus(args) -> int:
+    """Distributed column analyses over an arbitrary parquet table: exact
+    quantiles (histogram narrowing) and/or HLL approximate distinct counts.
+    Prints one JSON object."""
+    import json
+
+    import ray.data
+
+    _ensure_ray(args.num_cpus)
+    out: dict = {"path": args.path}
+    if args.quantiles:
+        from .stages.quantiles import column_quantiles
+
+        qs = tuple(float(q) for q in args.qs.split(","))
+        ds = ray.data.read_parquet(args.path, columns=[args.quantiles])
+        got = column_quantiles(ds, args.quantiles, qs)
+        out["quantiles"] = {str(q): got[q] for q in qs}
+    if args.distinct:
+        from .stages.sketches import hll_count_distinct
+
+        cols = tuple(c.strip() for c in args.distinct.split(","))
+        ds = ray.data.read_parquet(args.path, columns=list(cols))
+        out["approx_distinct"] = {
+            ",".join(cols): int(round(hll_count_distinct(ds, cols)))
+        }
+    if not args.quantiles and not args.distinct:
+        print("nothing to do: pass --quantiles and/or --distinct", file=sys.stderr)
+        return 2
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_compare(args) -> int:
     """Compare two extractors on the same text: shared / only-A / only-B
     spans (anno-cli compare --models analog)."""
@@ -705,6 +737,19 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("benchmark", help="per-extractor docs/sec microbenchmark")
     p.add_argument("--docs", type=int, default=50)
     p.set_defaults(fn=cmd_benchmark)
+
+    p = sub.add_parser(
+        "corpus", help="distributed column analyses over a parquet table"
+    )
+    p.add_argument("path", help="parquet file/dir/glob")
+    p.add_argument("--quantiles", metavar="COL",
+                   help="exact quantiles of a numeric column")
+    p.add_argument("--qs", default="0.25,0.5,0.9,0.99",
+                   help="comma-separated quantiles (default 0.25,0.5,0.9,0.99)")
+    p.add_argument("--distinct", metavar="COLS",
+                   help="HyperLogLog approx distinct of comma-joined columns")
+    p.add_argument("--num-cpus", type=int, default=None)
+    p.set_defaults(fn=cmd_corpus)
 
     args = ap.parse_args(argv)
     return args.fn(args)

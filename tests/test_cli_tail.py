@@ -124,3 +124,25 @@ def test_batch_and_query(ray_session, tmp_path, capsys):
     if os.path.isdir(os.path.join(kg, "nodes")):
         assert main(["query", "--kg", kg, "--min-mentions", "2", "--limit", "5"]) == 0
         assert capsys.readouterr().out.strip()
+
+
+def test_corpus_analyses(ray_session, capsys):
+    sf = "/root/testdata/sf0.001"
+    assert main([
+        "corpus", os.path.join(sf, "lineitem.parquet"),
+        "--quantiles", "l_extendedprice", "--qs", "0.5",
+        "--distinct", "l_partkey",
+    ]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    import duckdb
+
+    con = duckdb.connect()
+    med, nd = con.execute(
+        f"SELECT median(l_extendedprice), COUNT(DISTINCT l_partkey) "
+        f"FROM read_parquet('{sf}/lineitem.parquet')"
+    ).fetchone()
+    assert abs(out["quantiles"]["0.5"] - med) < 1e-9
+    approx = out["approx_distinct"]["l_partkey"]
+    assert abs(approx - nd) / nd < 0.02
+    # no-op invocation is a usage error
+    assert main(["corpus", os.path.join(sf, "lineitem.parquet")]) == 2
