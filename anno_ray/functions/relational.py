@@ -773,7 +773,10 @@ def events_asof_orders(sf_dir: str, num_partitions: int = 256):
                 "last_order_date": pa.array(
                     tt[last[valid]].astype("datetime64[us]"), pa.timestamp("us")
                 ),
-                "last_order_total": pa.array(np.round(tot[last[valid]], 2), pa.float64()),
+                # day_total was already pc.round-ed to 2dp in _tag_orders;
+                # re-rounding here with np.round (half-to-even) could flip
+                # exact .xx5 ties vs the DuckDB oracle — pass through as-is
+                "last_order_total": pa.array(tot[last[valid]], pa.float64()),
             }
         )
 

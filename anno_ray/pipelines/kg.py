@@ -731,7 +731,9 @@ def _merge_node_spills(node_spill_dir: str, out_dir: str, n_parts: int) -> dict:
         tbl = pq.read_table(files, partitioning=None)
         if tbl.num_rows == 0:
             return 0
-        tbl = _combine_node_partials(tbl)
+        # compact the one-chunk-per-spill-file layout before the hash
+        # aggregation + sort (same cache-locality win as the edges merge)
+        tbl = _combine_node_partials(tbl.combine_chunks())
         mf.write_partition(
             out_dir, "nodes", pid_s, tbl,
             inputs=[f"range<{pid_s}>"],
@@ -811,6 +813,7 @@ def _run_materialize_broadcast(out_dir: str, mapping: pa.Table) -> dict:
     t1 = time.time()
 
     fp = _materialize_fingerprint(out_dir, mapping)
+    t_fp = time.time()
     edges_done = {
         pid: m
         for pid, m in mfst.completed_partitions(out_dir, "edges").items()
@@ -832,7 +835,8 @@ def _run_materialize_broadcast(out_dir: str, mapping: pa.Table) -> dict:
         "phase_seconds": {
             "cuts_sample": round(t0 - t_s, 2),
             "fused_pass_and_nodes": round(t1 - t0, 2),
-            "edges_merge": round(t2 - t1, 2),
+            "fingerprint": round(t_fp - t1, 2),
+            "edges_merge": round(t2 - t_fp, 2),
         },
     }
 

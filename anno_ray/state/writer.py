@@ -222,9 +222,12 @@ def merge_spilled(
     done = done or {}
 
     @ray.remote
-    def merge_partition(pid: int) -> int:
+    def merge_partition(pid: int) -> tuple:
+        import time as _time
+
         import pyarrow.parquet as pq
 
+        t_a = _time.time()
         pid_s = f"{pid:05d}"
         pdir = os.path.join(spill_dir, f"part={pid_s}")
         if not os.path.isdir(pdir):
@@ -242,7 +245,13 @@ def merge_spilled(
             # byte-interchangeable)
             tbl = pq.read_table(files, partitioning=None) if files else None
         if tbl is None or tbl.num_rows == 0:
-            return 0
+            return 0, 0.0, 0.0, 0.0
+        # one ragged chunk per spill file makes the multi-key sort ~3.5x
+        # slower (scattered buffers defeat the comparator's cache locality);
+        # compacting first is ~0.02 s and pays for itself many times over
+        # (A/B on the 14.25M-row merge fan: 9-12 s wall -> 4.6-7 s)
+        tbl = tbl.combine_chunks()
+        t_b = _time.time()
         # total deterministic order: sort keys first, then every other column
         all_keys = list(sort_keys) + [
             c for c in tbl.column_names if c not in sort_keys
@@ -251,12 +260,14 @@ def merge_spilled(
             tbl, sort_keys=[(k, "ascending") for k in all_keys]
         )
         tbl = tbl.take(order)
+        t_c = _time.time()
         mf.write_partition(
             out_dir, stage, pid_s, tbl,
             inputs=[f"range<{pid_s}>"],
             metrics={"rows": tbl.num_rows, "fingerprint": fingerprint},
         )
-        return tbl.num_rows
+        t_d = _time.time()
+        return tbl.num_rows, t_b - t_a, t_c - t_b, t_d - t_c
 
     pending = [p for p in range(n_parts) if f"{p:05d}" not in done]
     # clear stale output before rewriting: a previous generation may have
@@ -278,13 +289,19 @@ def merge_spilled(
                         os.remove(os.path.join(man_dir, f))
                     except OSError:
                         pass
-    written = ray.get([merge_partition.remote(p) for p in pending])
-    shutil.rmtree(spill_dir, ignore_errors=True)
+    results = ray.get([merge_partition.remote(p) for p in pending])
+    if not os.environ.get("ANNO_KEEP_SPILL"):  # debug: keep partials for analysis
+        shutil.rmtree(spill_dir, ignore_errors=True)
     return {
         "stage": stage,
         "partitions": n_parts,
-        "rows_written": int(sum(written)),
+        "rows_written": int(sum(r[0] for r in results)),
         "partitions_skipped": n_parts - len(pending),
+        # summed task-side phase seconds (cpu-seconds across the merge fan;
+        # divide by cluster CPUs for the wall-clock contribution)
+        "merge_read_s": round(sum(r[1] for r in results), 2),
+        "merge_sort_s": round(sum(r[2] for r in results), 2),
+        "merge_write_s": round(sum(r[3] for r in results), 2),
     }
 
 
