@@ -649,13 +649,20 @@ def _mapping_row_hashes(b: pa.Table) -> pa.Table:
     return pa.table({"sig": pa.array([acc], pa.uint64())})
 
 
-def _materialize_fingerprint(out_dir: str, mapping) -> str:
-    """Identifies the (docs, canonical mapping) generation an edges/nodes
-    partition was derived from. A resumed run invalidates completed
-    partitions whose recorded fingerprint differs — preventing a
+def _materialize_fingerprint(out_dir: str, mapping, layout=None) -> str:
+    """Identifies the (docs, canonical mapping, partition layout) generation
+    an edges/nodes partition was derived from. A resumed run invalidates
+    completed partitions whose recorded fingerprint differs — preventing a
     mixed-generation graph when docs or the mapping changed. Row-order
     independent (sum of per-row hashes), so the driver-table and distributed
-    mapping paths fingerprint identically for the same mapping."""
+    mapping paths fingerprint identically for the same mapping.
+
+    ``layout`` is the (cuts, n_parts) range layout of this run. It MUST be
+    part of the fingerprint: two layouts cover the key space with different
+    overlapping ranges, so keeping a completed partition from layout A while
+    writing layout B's partitions around it double-counts every row in the
+    overlap (this exact bug once shipped a 168k-row edges table for a 74k
+    -triple corpus after a resume across a partition-count change)."""
     import hashlib
 
     if isinstance(mapping, pa.Table):
@@ -670,6 +677,12 @@ def _materialize_fingerprint(out_dir: str, mapping) -> str:
     h = hashlib.blake2b(digest_size=16)
     h.update(_docs_fingerprint(out_dir).encode())
     h.update(str(sig).encode())
+    if layout is not None:
+        cuts, n_parts = layout
+        h.update(str(int(n_parts)).encode())
+        for c in cuts:
+            h.update(b"\x00")
+            h.update(str(c).encode("utf-8", "replace"))
     return h.hexdigest()
 
 
@@ -812,7 +825,7 @@ def _run_materialize_broadcast(out_dir: str, mapping: pa.Table) -> dict:
     nodes_stats["rows_in"] = rows_in["node_rows"]
     t1 = time.time()
 
-    fp = _materialize_fingerprint(out_dir, mapping)
+    fp = _materialize_fingerprint(out_dir, mapping, layout=(cuts, n_parts))
     t_fp = time.time()
     edges_done = {
         pid: m
@@ -1121,17 +1134,14 @@ def _run_materialize_joined(out_dir: str, mapping_ds) -> dict:
     mapping_ds = mapping_ds.materialize()
     n_map = mapping_ds.count()
     njoin = min(64, max(2, n_map // 100_000 + 2))
-    try:
-        import ray as _ray
-
-        ncpu = int(_ray.cluster_resources().get("CPU", 8))
-    except Exception:
-        ncpu = 8
-    # floor at the cluster CPU count: merge tasks are the phase-2 serial unit
-    n_parts = min(256, max(8, ncpu, n_map // 50_000 + 1))
+    # partition count derives from DATA VOLUME only (never cluster size):
+    # the layout — and therefore the output files and any resumed partition's
+    # validity — must be identical across cluster resizes (same rule as the
+    # broadcast path's _sample_edge_cuts)
+    n_parts = min(256, max(8, n_map // 50_000 + 1))
     boundary = _boundary_sample(mapping_ds, n_map)
     lookup = _lookup_dataset(mapping_ds)
-    fp = _materialize_fingerprint(out_dir, mapping_ds)
+    fp = _materialize_fingerprint(out_dir, mapping_ds, layout=(boundary, n_parts))
 
     docs = docs_dataset(out_dir, columns=["url", "mentions", "triples"])
     combined = docs.map_batches(_fused_families, batch_format="pyarrow").materialize()

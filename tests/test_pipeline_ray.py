@@ -234,3 +234,49 @@ def test_degenerate_inputs(ray_session, tmp_path):
     assert stats["extract"]["shards_run"] == 2
     # zero-triple corpus still produces a valid (empty) edges stage
     assert stats["materialize"]["edges"]["rows_written"] >= 0
+
+
+def test_resume_across_layout_change_no_double_count(
+    ray_session, pages_dir, tmp_path, monkeypatch
+):
+    """A resumed materialize whose partition layout CHANGED (different range
+    cuts / partition count) must invalidate every completed edge partition.
+
+    Regression: the materialize fingerprint once covered only (docs,
+    mapping), so after a layout change a resume kept the old layout's
+    completed partitions (whose ranges span the whole key space) while
+    writing the new layout's non-colliding pids around them — double-counting
+    every row in the overlap (a 74k-triple corpus shipped 168k edges)."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    import anno_ray.pipelines.kg as kg
+
+    out = str(tmp_path / "kg_layout")
+
+    orig = kg._sample_edge_cuts
+
+    def coarse(out_dir, mapping, **kw):
+        cuts, _ = orig(out_dir, mapping, **kw)
+        return cuts[:2], 3  # first generation: only 3 partitions
+
+    monkeypatch.setattr(kg, "_sample_edge_cuts", coarse)
+    kg.run_kg_pipeline(pages_dir, out, resume=False)
+
+    def _edges_rows(d):
+        return sum(
+            pq.read_metadata(p).num_rows
+            for p in _glob.glob(os.path.join(d, "edges", "part=*", "data.parquet"))
+        )
+
+    n1 = _edges_rows(out)
+    assert n1 > 0
+
+    # second generation: the DEFAULT (finer) layout over identical docs +
+    # mapping; its higher-numbered pids don't collide with the completed
+    # coarse ones, so only the layout-aware fingerprint protects us
+    monkeypatch.setattr(kg, "_sample_edge_cuts", orig)
+    kg.run_kg_pipeline(pages_dir, out, resume=True)
+    n2 = _edges_rows(out)
+    assert n2 == n1, f"layout-change resume duplicated rows: {n1} -> {n2}"

@@ -96,6 +96,7 @@ def main() -> int:
         ok_cols = list(mine.columns) == list(want.columns)
         ok_rows = len(mine) == len(want)
         ok_vals = False
+        detail = ""
         if ok_cols and ok_rows:
             try:
                 import pandas.testing as pdt
