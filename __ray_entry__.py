@@ -82,7 +82,63 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_edges": dq.kg_edges,
         "kg_clusters": dq.kg_clusters,
         "kg_communities": dq.kg_communities,
+        "kg_pagerank": dq.kg_pagerank,
+        "kg_degree_stats": dq.kg_degree_stats,
     }
+
+
+def _pagerank_sql(edges_source: str, damping: float = 0.85, iterations: int = 10) -> str:
+    """Independent 10-iteration PageRank in pure SQL (unrolled — aggregation
+    inside a recursive CTE is not portable), mirroring
+    stages/graph_analytics.pagerank semantics exactly: DISTINCT edges,
+    r0 = 1/N, r_{k+1} = (1-d)/N + d*(in-contribs + dangling/N), output
+    N-normalized and rounded to 6 dp (the shared precision contract; the two
+    implementations match bit-exactly after rounding). Every rk is
+    MATERIALIZED so the optimizer cannot exponentially inline the chain."""
+    d = repr(damping)
+    head = f"""
+WITH e AS MATERIALIZED (SELECT DISTINCT subj_node AS src, obj_node AS dst FROM {edges_source}),
+nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+deg AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS DOUBLE) AS outdeg FROM e GROUP BY src),
+nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+r0 AS MATERIALIZED (SELECT node, 1.0/(SELECT n FROM nn) AS r FROM nodes)"""
+    parts = [head]
+    prev = "r0"
+    for k in range(1, iterations + 1):
+        cur = f"r{k}"
+        parts.append(f""",
+{cur} AS MATERIALIZED (
+  SELECT nd.node,
+         (1-{d})/(SELECT n FROM nn)
+         + {d} * (COALESCE(c.contrib, 0)
+                  + (SELECT COALESCE(SUM(p.r),0) FROM {prev} p
+                     LEFT JOIN deg dg ON p.node=dg.src WHERE dg.src IS NULL)
+                    /(SELECT n FROM nn)) AS r
+  FROM nodes nd
+  LEFT JOIN (SELECT e.dst AS node, SUM(p.r / dg.outdeg) AS contrib
+             FROM e JOIN {prev} p ON e.src = p.node JOIN deg dg ON e.src = dg.src
+             GROUP BY e.dst) c ON nd.node = c.node)""")
+        prev = cur
+    parts.append(
+        f"""
+SELECT node AS node_id, ROUND(r * (SELECT n FROM nn), 6) AS pr_norm
+FROM {prev} ORDER BY node_id"""
+    )
+    return "".join(parts)
+
+
+def _degree_stats_sql(edges_source: str) -> str:
+    return f"""
+        WITH e AS (SELECT DISTINCT subj_node AS src, obj_node AS dst
+                   FROM {edges_source}),
+        od AS (SELECT src AS node, COUNT(*) AS o FROM e GROUP BY src),
+        idg AS (SELECT dst AS node, COUNT(*) AS i FROM e GROUP BY dst),
+        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)
+        SELECT n.node AS node_id, COALESCE(od.o, 0) AS out_deg,
+               COALESCE(idg.i, 0) AS in_deg
+        FROM nodes n LEFT JOIN od ON n.node = od.node
+        LEFT JOIN idg ON n.node = idg.node
+    """
 
 
 def _quality_by_lang_sql() -> str:
@@ -379,6 +435,13 @@ def oracle_sql() -> dict[str, str]:
         "kg_triples": f"SELECT * FROM read_parquet('{gold}/kg_triples.parquet')",
         "kg_nodes": f"SELECT * FROM read_parquet('{gold}/kg_nodes.parquet')",
         "kg_edges": f"SELECT * FROM read_parquet('{gold}/kg_edges.parquet')",
+        # True-SQL graph analytics over the pinned golden edge set: the
+        # oracle is an INDEPENDENT implementation of the same algorithm
+        # (not a golden readback) — see _pagerank_sql/_degree_stats_sql.
+        "kg_pagerank": _pagerank_sql(f"read_parquet('{gold}/kg_edges.parquet')"),
+        "kg_degree_stats": _degree_stats_sql(
+            f"read_parquet('{gold}/kg_edges.parquet')"
+        ),
         # Deterministic non-SQL operators (seeded hyperplanes / FNV-1a
         # minhash / fixed fixtures / fake scorers): pinned as goldens by
         # tools/make_op_goldens.py, double-run-verified before each pin.

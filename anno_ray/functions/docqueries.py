@@ -836,3 +836,50 @@ def kg_communities(sf_dir: str):
             "community": tbl.column("community").to_pylist(),
         }
     )
+
+
+def kg_pagerank(sf_dir: str):
+    """PageRank centrality over the canonical KG edge graph.
+
+    Full pipeline -> distributed PageRank (stages/graph_analytics.py): the
+    edge Dataset stays in the cluster for all 10 iterations; only the rank
+    vector moves. The SQL oracle runs an independent 10-iteration unrolled
+    implementation over the pinned golden edges — rounded ranks match
+    bit-exactly (same damping/dangling semantics, 6-dp contract)."""
+    import ray.data
+
+    from ..pipelines.kg import run_kg_pipeline
+    from ..stages.graph_analytics import pagerank
+
+    pages = _pages_dir_for(sf_dir)
+    out = pages + "_kg"
+    run_kg_pipeline(pages, out)
+    edge_files = sorted(
+        glob.glob(os.path.join(out, "edges", "part=*", "data.parquet"))
+    )
+    edges = ray.data.read_parquet(edge_files, columns=["subj_node", "obj_node"])
+    pr = pagerank(edges)
+    if not isinstance(pr, pa.Table):
+        import ray
+
+        pr = pa.concat_tables(
+            [ray.get(r) for r in pr.to_arrow_refs()], promote_options="permissive"
+        )
+    return pr.take(pc.sort_indices(pr, sort_keys=[("node_id", "ascending")]))
+
+
+def kg_degree_stats(sf_dir: str):
+    """Per-node in/out degree over the DISTINCT canonical edge set."""
+    import ray.data
+
+    from ..pipelines.kg import run_kg_pipeline
+    from ..stages.graph_analytics import degree_stats
+
+    pages = _pages_dir_for(sf_dir)
+    out = pages + "_kg"
+    run_kg_pipeline(pages, out)
+    edge_files = sorted(
+        glob.glob(os.path.join(out, "edges", "part=*", "data.parquet"))
+    )
+    edges = ray.data.read_parquet(edge_files, columns=["subj_node", "obj_node"])
+    return degree_stats(edges)

@@ -1,0 +1,321 @@
+"""Distributed graph analytics over canonical (src, dst) edge tables.
+
+PageRank as a Ray-Data-native iterative operator (the reference exposes
+per-cluster importance ranking — corpus_stats.rs cluster_importance — but
+no whole-graph centrality; this is one of the additions a KG-construction
+engine needs at web scale, where "which canonical entities matter" is a
+first-class product output).
+
+Design (scale-first):
+- the EDGE table is the 100-TB-scale object and stays distributed for the
+  whole computation; it is materialized ONCE (iterative algorithms re-read
+  their working set; Ray's object store spills it) and only the rank
+  vector — one float per node — moves per iteration;
+- per iteration: every edge block computes partial contribution sums per
+  dst against a broadcast (node-ids, out-degree, ranks) lookup — a
+  map_batches COMBINER, so the shuffle that follows carries at most
+  n_nodes rows per block, never n_edges; a small groupby("i").sum
+  finishes the per-node sum; the driver folds in damping + dangling mass
+  and broadcasts the next rank vector via ray.put (n_nodes doubles);
+- above ``max_broadcast_nodes`` the rank vector no longer fits a single
+  broadcast; ``_pagerank_joined`` runs the same iteration as partitioned
+  hash joins (edges ⋈ ranks on src), dispatched on observed node count
+  like every other size threshold in this repo.
+
+Semantics (pinned, mirrored exactly by the SQL oracle in __ray_entry__):
+  edges are DISTINCT (src, dst) pairs; N = |{src} ∪ {dst}|;
+  r_0(v) = 1/N;
+  r_{k+1}(v) = (1-d)/N + d * ( Σ_{(u,v)∈E} r_k(u)/outdeg(u)  +  D_k/N )
+  where D_k = Σ r_k(u) over dangling nodes (outdeg(u) = 0).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..ray_utils import register_for_ray
+
+# above this node count the broadcast rank vector stops being cheap to ship
+# every iteration (5M nodes = 40 MB of ranks + the id array); the joined
+# path takes over
+_PAGERANK_BROADCAST_MAX_NODES = 5_000_000
+
+
+def _distinct_edges(edges_ds, src: str, dst: str):
+    """Project to DISTINCT (src, dst) — reuses the NUL-safe coarse-partition
+    DISTINCT from the dedup stage (same shape: pair table, no value cols)."""
+    from .dedup import distinct_pairs
+
+    pairs = edges_ds.map_batches(
+        lambda b: pa.table({"id_a": b.column(src), "id_b": b.column(dst)}),
+        batch_format="pyarrow",
+    )
+    return distinct_pairs(pairs, [])
+
+
+def pagerank(
+    edges_ds,
+    *,
+    src: str = "subj_node",
+    dst: str = "obj_node",
+    damping: float = 0.85,
+    iterations: int = 10,
+    max_broadcast_nodes: int = _PAGERANK_BROADCAST_MAX_NODES,
+) -> pa.Table:
+    """PageRank over a distributed edge Dataset -> (node_id, pr_norm) table.
+
+    ``pr_norm`` is the N-normalized rank (mean exactly 1.0 before damping
+    losses), rounded to 6 decimals — the precision contract shared with the
+    SQL oracle. The returned table is driver-sized (one row per node) on
+    the broadcast path; the joined path returns a Ray Dataset instead.
+    """
+    import ray
+
+    register_for_ray()
+    edges = _distinct_edges(edges_ds, src, dst).materialize()
+    if edges.count() == 0:
+        return pa.table(
+            {"node_id": pa.array([], pa.string()), "pr_norm": pa.array([], pa.float64())}
+        )
+
+    # node universe + out-degree, reduced distributedly (n_nodes rows max)
+    deg_tbl = pa.concat_tables(
+        [
+            ray.get(r)
+            for r in edges.groupby("id_a").count().to_arrow_refs()
+        ],
+        promote_options="permissive",
+    )
+    dst_tbl = pa.concat_tables(
+        [
+            ray.get(r)
+            for r in edges.groupby("id_b").count().to_arrow_refs()
+        ],
+        promote_options="permissive",
+    )
+    src_ids = deg_tbl.column("id_a").to_pylist()
+    all_ids = sorted(set(src_ids) | set(dst_tbl.column("id_b").to_pylist()))
+    n = len(all_ids)
+    if n == 0:
+        return pa.table(
+            {"node_id": pa.array([], pa.string()), "pr_norm": pa.array([], pa.float64())}
+        )
+    if n > max_broadcast_nodes:
+        return _pagerank_joined(
+            edges, all_ids, damping=damping, iterations=iterations
+        )
+
+    idx = {v: i for i, v in enumerate(all_ids)}
+    outdeg = np.zeros(n, dtype=np.float64)
+    for s, c in zip(src_ids, deg_tbl.column("count()").to_pylist()):
+        outdeg[idx[s]] = float(c)
+    nodes_arr = pa.array(all_ids, pa.string())
+    static_ref = ray.put((nodes_arr, outdeg))
+
+    dangling_mask = outdeg == 0.0
+    r = np.full(n, 1.0 / n, dtype=np.float64)
+
+    def _contrib(batch: pa.Table, *, static_ref, rank_ref) -> pa.Table:
+        nodes_arr, outdeg = ray.get(static_ref)
+        ranks = ray.get(rank_ref)
+        si = pc.index_in(batch.column("id_a"), value_set=nodes_arr).to_numpy(
+            zero_copy_only=False
+        )
+        di = pc.index_in(batch.column("id_b"), value_set=nodes_arr).to_numpy(
+            zero_copy_only=False
+        )
+        w = ranks[si] / outdeg[si]  # every src has outdeg >= 1 by construction
+        uniq, inv = np.unique(di, return_inverse=True)
+        sums = np.bincount(inv, weights=w)
+        return pa.table(
+            {
+                "i": pa.array(uniq.astype(np.int64), pa.int64()),
+                "s": pa.array(sums, pa.float64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    for _ in range(iterations):
+        rank_ref = ray.put(r)
+        partials = edges.map_batches(
+            _contrib,
+            batch_format="pyarrow",
+            fn_kwargs={"static_ref": static_ref, "rank_ref": rank_ref},
+        )
+        agg = pa.concat_tables(
+            [ray.get(ref) for ref in partials.groupby("i").aggregate(Sum("s")).to_arrow_refs()],
+            promote_options="permissive",
+        )
+        contrib = np.zeros(n, dtype=np.float64)
+        if agg.num_rows:
+            ii = agg.column("i").to_numpy(zero_copy_only=False).astype(np.int64)
+            contrib[ii] = agg.column("sum(s)").to_numpy(zero_copy_only=False)
+        dangling = float(r[dangling_mask].sum())
+        r = (1.0 - damping) / n + damping * (contrib + dangling / n)
+
+    return pa.table(
+        {
+            "node_id": nodes_arr,
+            "pr_norm": pc.round(pa.array(r * n, pa.float64()), ndigits=6),
+        }
+    )
+
+
+def _pagerank_joined(edges, all_ids, *, damping: float, iterations: int):
+    """Scale path: the rank vector itself is a Dataset; each iteration is
+    edges ⋈ ranks (partitioned hash join on src) -> per-dst groupby sum ->
+    left join back onto the node universe. The driver never holds more
+    than the two scalar aggregates (dangling mass, node count).
+
+    Returns a Ray Dataset of (node_id, pr_norm)."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    n = len(all_ids)
+    nodes = ray.data.from_arrow(
+        pa.table({"node": pa.array(all_ids, pa.string())})
+    ).repartition(max(2, n // 1_000_000 + 1))
+
+    deg = edges.groupby("id_a").count().map_batches(
+        lambda b: pa.table(
+            {
+                "dnode": b.column("id_a"),
+                "outdeg": pc.cast(b.column("count()"), pa.float64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    njoin = max(2, n // 1_000_000 + 2)
+    # ranks carries outdeg along so the per-iteration join is single
+    ranks = nodes.join(
+        deg, join_type="left_outer", num_partitions=njoin,
+        on=("node",), right_on=("dnode",),
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "node": b.column("node"),
+                "outdeg": pc.fill_null(b.column("outdeg"), 0.0),
+                "r": pa.array([1.0 / n] * b.num_rows, pa.float64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    for _ in range(iterations):
+        dangling = sum(
+            row["s"]
+            for row in ranks.map_batches(
+                lambda b: pa.table(
+                    {
+                        "s": pa.array(
+                            [
+                                pc.sum(
+                                    pc.if_else(
+                                        pc.equal(b.column("outdeg"), 0.0),
+                                        b.column("r"),
+                                        pa.scalar(0.0),
+                                    )
+                                ).as_py()
+                                or 0.0
+                            ],
+                            pa.float64(),
+                        )
+                    }
+                ),
+                batch_format="pyarrow",
+            ).take_all()
+        )
+        contrib = (
+            edges.join(
+                ranks, join_type="inner", num_partitions=njoin,
+                on=("id_a",), right_on=("node",),
+            )
+            .map_batches(
+                lambda b: pa.table(
+                    {
+                        "cnode": b.column("id_b"),
+                        "c": pc.divide(b.column("r"), b.column("outdeg")),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .groupby("cnode")
+            .aggregate(Sum("c"))
+        )
+        base = (1.0 - damping) / n + damping * dangling / n
+        ranks = ranks.join(
+            contrib, join_type="left_outer", num_partitions=njoin,
+            on=("node",), right_on=("cnode",),
+        ).map_batches(
+            lambda b: pa.table(
+                {
+                    "node": b.column("node"),
+                    "outdeg": b.column("outdeg"),
+                    "r": pc.add(
+                        pa.scalar(base),
+                        pc.multiply(
+                            pa.scalar(damping),
+                            pc.fill_null(b.column("sum(c)"), 0.0),
+                        ),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+
+    return ranks.map_batches(
+        lambda b: pa.table(
+            {
+                "node_id": b.column("node"),
+                "pr_norm": pc.round(
+                    pc.multiply(b.column("r"), pa.scalar(float(n))), ndigits=6
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def degree_stats(edges_ds, *, src: str = "subj_node", dst: str = "obj_node"):
+    """Per-node in/out degree over DISTINCT edges -> Dataset
+    (node_id, out_deg, in_deg). One union + one groupby — both sides of the
+    degree are counted in a single shuffle instead of two joined ones."""
+    from ray.data.aggregate import Sum
+
+    register_for_ray()
+    edges = _distinct_edges(edges_ds, src, dst)
+
+    def _tag(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {
+                "node_id": pa.concat_arrays(
+                    [
+                        b.column("id_a").combine_chunks(),
+                        b.column("id_b").combine_chunks(),
+                    ]
+                ),
+                "out_d": pa.array([1] * n + [0] * n, pa.int64()),
+                "in_d": pa.array([0] * n + [1] * n, pa.int64()),
+            }
+        )
+
+    out = (
+        edges.map_batches(_tag, batch_format="pyarrow")
+        .groupby("node_id")
+        .aggregate(Sum("out_d"), Sum("in_d"))
+    )
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "node_id": b.column("node_id"),
+                "out_deg": b.column("sum(out_d)"),
+                "in_deg": b.column("sum(in_d)"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
