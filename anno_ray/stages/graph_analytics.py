@@ -138,6 +138,13 @@ def pagerank(
 
     from ray.data.aggregate import Sum
 
+    # below ~100k nodes the driver (which holds the rank vector on this
+    # path anyway) sums the per-block partials directly — same asymptotics,
+    # none of the per-iteration Ray shuffle fixed cost (~1-2 s x 10 iters);
+    # above, a distributed groupby reduces the partials to n_nodes rows
+    # before anything reaches the driver
+    driver_combine = n <= 100_000
+
     for _ in range(iterations):
         rank_ref = ray.put(r)
         partials = edges.map_batches(
@@ -145,14 +152,27 @@ def pagerank(
             batch_format="pyarrow",
             fn_kwargs={"static_ref": static_ref, "rank_ref": rank_ref},
         )
-        agg = pa.concat_tables(
-            [ray.get(ref) for ref in partials.groupby("i").aggregate(Sum("s")).to_arrow_refs()],
-            promote_options="permissive",
-        )
         contrib = np.zeros(n, dtype=np.float64)
-        if agg.num_rows:
-            ii = agg.column("i").to_numpy(zero_copy_only=False).astype(np.int64)
-            contrib[ii] = agg.column("sum(s)").to_numpy(zero_copy_only=False)
+        if driver_combine:
+            for ref in partials.to_arrow_refs():
+                t = ray.get(ref)
+                if t.num_rows:
+                    np.add.at(
+                        contrib,
+                        t.column("i").to_numpy(zero_copy_only=False).astype(np.int64),
+                        t.column("s").to_numpy(zero_copy_only=False),
+                    )
+        else:
+            agg = pa.concat_tables(
+                [
+                    ray.get(ref)
+                    for ref in partials.groupby("i").aggregate(Sum("s")).to_arrow_refs()
+                ],
+                promote_options="permissive",
+            )
+            if agg.num_rows:
+                ii = agg.column("i").to_numpy(zero_copy_only=False).astype(np.int64)
+                contrib[ii] = agg.column("sum(s)").to_numpy(zero_copy_only=False)
         dangling = float(r[dangling_mask].sum())
         r = (1.0 - damping) / n + damping * (contrib + dangling / n)
 
