@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_communities": dq.kg_communities,
         "kg_pagerank": dq.kg_pagerank,
         "kg_degree_stats": dq.kg_degree_stats,
+        "kg_components": dq.kg_components,
     }
 
 
@@ -122,6 +123,37 @@ r0 AS MATERIALIZED (SELECT node, 1.0/(SELECT n FROM nn) AS r FROM nodes)"""
     parts.append(
         f"""
 SELECT node AS node_id, ROUND(r * (SELECT n FROM nn), 6) AS pr_norm
+FROM {prev} ORDER BY node_id"""
+    )
+    return "".join(parts)
+
+
+def _components_sql(edges_source: str, rounds: int = 12) -> str:
+    """Independent unrolled min-label propagation in pure SQL: l0 = own id;
+    each round takes the min over the symmetric neighborhood. The pinned
+    golden graph converges in 7 rounds; 12 leaves margin. The Ray side
+    (stages/components.py) iterates to fixpoint with pointer doubling, so
+    both reach the identical per-component min-id labels."""
+    head = f"""
+WITH e AS MATERIALIZED (SELECT DISTINCT subj_node AS src, obj_node AS dst FROM {edges_source}),
+sym AS MATERIALIZED (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lab FROM sym)"""
+    parts = [head]
+    prev = "l0"
+    for k in range(1, rounds + 1):
+        cur = f"l{k}"
+        parts.append(f""",
+{cur} AS MATERIALIZED (
+  SELECT n.node, LEAST(n.lab, COALESCE(m.mn, n.lab)) AS lab
+  FROM {prev} n
+  LEFT JOIN (SELECT s.dst AS node, MIN(p.lab) AS mn
+             FROM sym s JOIN {prev} p ON s.src = p.node
+             GROUP BY s.dst) m ON n.node = m.node)""")
+        prev = cur
+    parts.append(
+        f"""
+SELECT node AS node_id, lab AS component,
+       COUNT(*) OVER (PARTITION BY lab) AS component_size
 FROM {prev} ORDER BY node_id"""
     )
     return "".join(parts)
@@ -442,6 +474,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_degree_stats": _degree_stats_sql(
             f"read_parquet('{gold}/kg_edges.parquet')"
         ),
+        "kg_components": _components_sql(f"read_parquet('{gold}/kg_edges.parquet')"),
         # Deterministic non-SQL operators (seeded hyperplanes / FNV-1a
         # minhash / fixed fixtures / fake scorers): pinned as goldens by
         # tools/make_op_goldens.py, double-run-verified before each pin.

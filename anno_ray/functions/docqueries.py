@@ -883,3 +883,32 @@ def kg_degree_stats(sf_dir: str):
     )
     edges = ray.data.read_parquet(edge_files, columns=["subj_node", "obj_node"])
     return degree_stats(edges)
+
+
+def kg_components(sf_dir: str):
+    """Weakly-connected components over the canonical KG edge graph.
+
+    Surfaces the 10M-key-proven min-label-propagation machinery
+    (stages/components.py) as a first-class analytic: (node_id, component,
+    component_size), component = min node id. The SQL oracle runs an
+    independent 12-round unrolled min-label propagation over the pinned
+    golden edges (the graph converges in 7 rounds; the Ray side iterates
+    to fixpoint with pointer doubling, so both reach the same labels)."""
+    import ray
+    import ray.data
+
+    from ..pipelines.kg import run_kg_pipeline
+    from ..stages.graph_analytics import connected_components
+
+    pages = _pages_dir_for(sf_dir)
+    out = pages + "_kg"
+    run_kg_pipeline(pages, out)
+    edge_files = sorted(
+        glob.glob(os.path.join(out, "edges", "part=*", "data.parquet"))
+    )
+    edges = ray.data.read_parquet(edge_files, columns=["subj_node", "obj_node"])
+    cc = connected_components(edges)
+    tbl = pa.concat_tables(
+        [ray.get(r) for r in cc.to_arrow_refs()], promote_options="permissive"
+    )
+    return tbl.take(pc.sort_indices(tbl, sort_keys=[("node_id", "ascending")]))

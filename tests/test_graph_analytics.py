@@ -129,3 +129,27 @@ def test_degree_stats(ray_session):
         "e": (1, 0),
         "sink": (0, 1),
     }
+
+
+def test_connected_components(ray_session):
+    import ray
+
+    from anno_ray.stages.graph_analytics import connected_components
+
+    # two components: {a,b,c,d,e,sink} is one (GRAPH is connected through c);
+    # add an isolated pair {x,y}
+    cc = connected_components(_edges_ds(GRAPH + [("x", "y")]))
+    tbl = pa.concat_tables(
+        [ray.get(r) for r in cc.to_arrow_refs()], promote_options="permissive"
+    )
+    got = {
+        n: (c, s)
+        for n, c, s in zip(
+            tbl.column("node_id").to_pylist(),
+            tbl.column("component").to_pylist(),
+            tbl.column("component_size").to_pylist(),
+        )
+    }
+    assert got["x"] == ("x", 2) and got["y"] == ("x", 2)
+    for n in ["a", "b", "c", "d", "e", "sink"]:
+        assert got[n] == ("a", 6), n
