@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -397,6 +398,78 @@ def cmd_corpus(args) -> int:
     return 0
 
 
+def cmd_graph(args) -> int:
+    """Graph analytics over a materialized kg output dir: PageRank top-k,
+    degree stats, or connected-component summary. Prints JSON lines."""
+    import glob as _glob
+    import json
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+    import ray.data
+
+    _ensure_ray(args.num_cpus)
+    edge_files = sorted(
+        _glob.glob(os.path.join(args.kg, "edges", "part=*", "data.parquet"))
+    )
+    if not edge_files:
+        print(f"no edge partitions under {args.kg}/edges", file=sys.stderr)
+        return 2
+    edges = ray.data.read_parquet(edge_files, columns=["subj_node", "obj_node"])
+
+    def _collect(ds):
+        if isinstance(ds, pa.Table):
+            return ds
+        return pa.concat_tables(
+            [ray.get(r) for r in ds.to_arrow_refs()], promote_options="permissive"
+        )
+
+    if args.what == "pagerank":
+        from .stages.graph_analytics import pagerank
+
+        t = _collect(pagerank(edges, iterations=args.iterations))
+        t = t.take(pc.sort_indices(
+            t, sort_keys=[("pr_norm", "descending"), ("node_id", "ascending")]
+        ))
+        for i in range(min(args.top, t.num_rows)):
+            print(json.dumps({
+                "node_id": t.column("node_id")[i].as_py(),
+                "pr_norm": t.column("pr_norm")[i].as_py(),
+            }))
+    elif args.what == "degree":
+        from .stages.graph_analytics import degree_stats
+
+        t = _collect(degree_stats(edges))
+        tot = pc.add(t.column("out_deg"), t.column("in_deg"))
+        t = t.append_column("total_deg", tot)
+        t = t.take(pc.sort_indices(
+            t, sort_keys=[("total_deg", "descending"), ("node_id", "ascending")]
+        ))
+        for i in range(min(args.top, t.num_rows)):
+            print(json.dumps({
+                "node_id": t.column("node_id")[i].as_py(),
+                "out_deg": t.column("out_deg")[i].as_py(),
+                "in_deg": t.column("in_deg")[i].as_py(),
+            }))
+    else:  # components
+        from .stages.graph_analytics import connected_components
+
+        t = _collect(connected_components(edges))
+        comp = t.group_by("component").aggregate([("component_size", "max")])
+        comp = comp.take(pc.sort_indices(
+            comp,
+            sort_keys=[("component_size_max", "descending"), ("component", "ascending")],
+        ))
+        print(json.dumps({"nodes": t.num_rows, "components": comp.num_rows}))
+        for i in range(min(args.top, comp.num_rows)):
+            print(json.dumps({
+                "component": comp.column("component")[i].as_py(),
+                "size": comp.column("component_size_max")[i].as_py(),
+            }))
+    return 0
+
+
 def cmd_compare(args) -> int:
     """Compare two extractors on the same text: shared / only-A / only-B
     spans (anno-cli compare --models analog)."""
@@ -737,6 +810,16 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("benchmark", help="per-extractor docs/sec microbenchmark")
     p.add_argument("--docs", type=int, default=50)
     p.set_defaults(fn=cmd_benchmark)
+
+    p = sub.add_parser(
+        "graph", help="graph analytics (pagerank/degree/components) over a kg output"
+    )
+    p.add_argument("what", choices=["pagerank", "degree", "components"])
+    p.add_argument("--kg", required=True, help="kg output dir (with edges/)")
+    p.add_argument("--top", type=int, default=20)
+    p.add_argument("--iterations", type=int, default=10)
+    p.add_argument("--num-cpus", type=int, default=None)
+    p.set_defaults(fn=cmd_graph)
 
     p = sub.add_parser(
         "corpus", help="distributed column analyses over a parquet table"

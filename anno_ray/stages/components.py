@@ -105,9 +105,62 @@ def min_label_components(
         n = labels.count()
         num_partitions = min(64, max(2, n // 100_000 + 2))
 
+    # key/label Arrow types, captured once: small inputs make Ray emit
+    # SCHEMA-LESS empty blocks out of joins/groupbys, and a later hash join
+    # on such a block fails with "No match ... FieldRef.Name(label)". Every
+    # per-round kernel below therefore rebuilds a TYPED empty block when its
+    # input block is empty/degenerate, keeping the whole fixpoint
+    # schema-stable regardless of block layout.
+    sch = labels.schema()
+    _types = dict(zip(sch.names, sch.types))
+    k_t, lab_t = _types["k"], _types["label"]
+
+    def _typed_empty() -> pa.Table:
+        return pa.table({"k": pa.array([], k_t), "label": pa.array([], lab_t)})
+
+    def _labels_norm(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "k" not in b.column_names:
+            return _typed_empty()
+        return b.select(["k", "label"])
+
+    def _sym_norm(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "src" not in b.column_names:
+            return pa.table({"src": pa.array([], k_t), "dst": pa.array([], k_t)})
+        return b.select(["src", "dst"])
+
+    labels = labels.map_batches(_labels_norm, batch_format="pyarrow").materialize()
+    sym = sym.map_batches(_sym_norm, batch_format="pyarrow").materialize()
+
+    def _prop_kernel(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "dst" not in b.column_names:
+            return _typed_empty()
+        return pa.table({"k": b.column("dst"), "label": b.column("label")})
+
     def _rename_min(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "k" not in b.column_names:
+            return _typed_empty()
         return b.rename_columns(
             [{"min(label)": "label"}.get(c, c) for c in b.column_names]
+        )
+
+    def _lookup_kernel(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "k" not in b.column_names:
+            return pa.table(
+                {"k2": pa.array([], k_t), "label2": pa.array([], lab_t)}
+            )
+        return pa.table({"k2": b.column("k"), "label2": b.column("label")})
+
+    def _double_kernel(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "k" not in b.column_names:
+            return _typed_empty()
+        return pa.table(
+            {
+                "k": b.column("k"),
+                "label": pc.coalesce(
+                    pc.min_element_wise(b.column("label"), b.column("label2")),
+                    b.column("label"),
+                ),
+            }
         )
 
     old_sig = _signature(labels)
@@ -117,10 +170,7 @@ def min_label_components(
         prop = sym.join(
             labels, join_type="inner", num_partitions=num_partitions,
             on=("src",), right_on=("k",),
-        ).map_batches(
-            lambda b: pa.table({"k": b.column("dst"), "label": b.column("label")}),
-            batch_format="pyarrow",
-        )
+        ).map_batches(_prop_kernel, batch_format="pyarrow")
         stepped = (
             labels.union(prop).groupby("k").aggregate(Min("label"))
             .map_batches(_rename_min, batch_format="pyarrow")
@@ -128,33 +178,30 @@ def min_label_components(
         # pointer doubling: label <- label(label). `stepped` has one row per
         # k (groupby output) and lookup keys are unique, so the left-outer
         # join yields exactly one row per k — no post-join groupby needed.
-        as_lookup = stepped.map_batches(
-            lambda b: pa.table({"k2": b.column("k"), "label2": b.column("label")}),
-            batch_format="pyarrow",
-        )
+        as_lookup = stepped.map_batches(_lookup_kernel, batch_format="pyarrow")
         labels = (
             stepped.join(
                 as_lookup, join_type="left_outer", num_partitions=num_partitions,
                 on=("label",), right_on=("k2",),
             )
-            .map_batches(
-                lambda b: pa.table(
-                    {
-                        "k": b.column("k"),
-                        "label": pc.coalesce(
-                            pc.min_element_wise(b.column("label"), b.column("label2")),
-                            b.column("label"),
-                        ),
-                    }
-                ),
-                batch_format="pyarrow",
-            )
+            .map_batches(_double_kernel, batch_format="pyarrow")
         ).materialize()
         new_sig = _signature(labels)
         if new_sig == old_sig:
             break
         old_sig = new_sig
     return labels
+
+
+# below this many pairs the component computation runs as a driver
+# union-find instead of the distributed fixpoint: Ray 2.49 forwards EMPTY
+# blocks through map_batches without calling the UDF, so a small input whose
+# hash partitions go empty ships schema-less blocks into the fixpoint's
+# joins and they fail ("No match ... FieldRef.Name(label)"). At distributed
+# scale (>=~100k keys per partition by construction of num_partitions) an
+# empty hash partition cannot occur, so the wart only bites small graphs —
+# which the driver handles exactly (same min-id labels) and faster anyway.
+_CC_DRIVER_MAX_PAIRS = 100_000
 
 
 def components_from_pairs(
@@ -164,6 +211,7 @@ def components_from_pairs(
     id_b: str = "id_b",
     max_iters: int = 32,
     num_partitions: int | None = None,
+    max_driver_pairs: int = _CC_DRIVER_MAX_PAIRS,
 ):
     """Connected components directly from an (id_a, id_b) pair Dataset.
 
@@ -171,8 +219,50 @@ def components_from_pairs(
     emitted — matching the driver union-find in ``dedup.minhash_dedup_ids``).
     Returns a Dataset (k, label) with label = min id of the component.
     """
+    import ray
+    import ray.data
+
     register_for_ray()
     pairs_ds = pairs_ds.materialize()
+
+    if pairs_ds.count() <= max_driver_pairs:
+        from ..core.unionfind import UnionFind
+
+        tbls = [
+            t
+            for t in (ray.get(r) for r in pairs_ds.to_arrow_refs())
+            if t.num_rows and id_a in t.column_names
+        ]
+        a_list: list = []
+        b_list: list = []
+        for t in tbls:
+            a_list.extend(t.column(id_a).to_pylist())
+            b_list.extend(t.column(id_b).to_pylist())
+        ids: dict = {}
+        for x in a_list + b_list:
+            if x not in ids:
+                ids[x] = len(ids)
+        uf = UnionFind(len(ids))
+        for x, y in zip(a_list, b_list):
+            uf.union(ids[x], ids[y])
+        rev = list(ids.keys())
+        best: dict[int, object] = {}
+        for x, i in ids.items():
+            r = uf.find(i)
+            cur = best.get(r)
+            if cur is None or x < cur:
+                best[r] = x
+        out = pa.table(
+            {
+                "k": pa.array(rev),
+                "label": pa.array([best[uf.find(ids[x])] for x in rev]),
+            }
+        )
+        if out.num_rows == 0:
+            out = pa.table(
+                {"k": pa.array([], pa.string()), "label": pa.array([], pa.string())}
+            )
+        return ray.data.from_arrow(out)
 
     def _sym(b: pa.Table) -> pa.Table:
         a = b.column(id_a).combine_chunks()

@@ -146,3 +146,36 @@ def test_corpus_analyses(ray_session, capsys):
     assert abs(approx - nd) / nd < 0.02
     # no-op invocation is a usage error
     assert main(["corpus", os.path.join(sf, "lineitem.parquet")]) == 2
+
+
+def test_graph_analytics_cli(ray_session, capsys, tmp_path):
+    """graph pagerank/degree/components over a tiny materialized kg."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    kg = tmp_path / "kg"
+    (kg / "edges" / "part=00000").mkdir(parents=True)
+    pq.write_table(
+        pa.table(
+            {
+                "subj_node": pa.array(["a", "a", "b", "x"], pa.string()),
+                "obj_node": pa.array(["b", "c", "c", "y"], pa.string()),
+            }
+        ),
+        str(kg / "edges" / "part=00000" / "data.parquet"),
+    )
+    assert main(["graph", "pagerank", "--kg", str(kg), "--top", "2"]) == 0
+    lines = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert len(lines) == 2 and "pr_norm" in lines[0]
+
+    assert main(["graph", "components", "--kg", str(kg), "--top", "10"]) == 0
+    lines = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert lines[0] == {"nodes": 5, "components": 2}
+    assert {(r["component"], r["size"]) for r in lines[1:]} == {("a", 3), ("x", 2)}
+
+    assert main(["graph", "degree", "--kg", str(kg), "--top", "1"]) == 0
+    row = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert row["node_id"] == "a" and row["out_deg"] == 2
+
+    # missing edges dir is a usage error
+    assert main(["graph", "pagerank", "--kg", str(tmp_path / "nope")]) == 2

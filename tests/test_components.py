@@ -47,7 +47,9 @@ def test_components_from_pairs_matches_unionfind_int(ray_session, seed, n_nodes,
             }
         )
     )
-    out = components_from_pairs(ds).to_pandas()
+    # max_driver_pairs=0 forces the DISTRIBUTED fixpoint (the unit under test);
+    # the default driver dispatch for small inputs is covered separately
+    out = components_from_pairs(ds, max_driver_pairs=0).to_pandas()
     got = dict(zip(out["k"], out["label"]))
     assert got == expect
 
@@ -71,7 +73,9 @@ def test_components_from_pairs_matches_unionfind_str(ray_session):
             }
         )
     )
-    out = components_from_pairs(ds).to_pandas()
+    # max_driver_pairs=0 forces the DISTRIBUTED fixpoint (the unit under test);
+    # the default driver dispatch for small inputs is covered separately
+    out = components_from_pairs(ds, max_driver_pairs=0).to_pandas()
     assert dict(zip(out["k"], out["label"])) == expect
 
 
@@ -122,7 +126,9 @@ def test_chain_converges_log_rounds(ray_session):
             }
         )
     )
-    out = components_from_pairs(ds).to_pandas()
+    # max_driver_pairs=0 forces the DISTRIBUTED fixpoint (the unit under test);
+    # the default driver dispatch for small inputs is covered separately
+    out = components_from_pairs(ds, max_driver_pairs=0).to_pandas()
     assert len(out) == n
     assert set(out["label"]) == {0}
 
@@ -284,3 +290,27 @@ def test_distinct_pairs_nul_safe_partitioning(ray_session):
     counts = collections.Counter((h % 64).tolist())
     assert len(counts) > 32  # NUL-truncated hashing collapses this to ~2
     assert max(counts.values()) < n * 0.1
+
+
+def test_components_driver_dispatch_matches_distributed(ray_session):
+    """Default small-input driver union-find == forced distributed fixpoint,
+    including on multi-block parquet-sourced input whose empty hash
+    partitions the Ray 2.49 join path cannot digest (the wart that motivated
+    the dispatch — empty blocks are forwarded through map_batches without
+    calling the UDF, so they reach joins schema-less)."""
+    import ray
+    import ray.data
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "id_a": pa.array(["a", "a", "b", "x"], pa.string()),
+                "id_b": pa.array(["b", "c", "c", "y"], pa.string()),
+            }
+        )
+    )
+    from anno_ray.stages.components import components_from_pairs
+
+    drv = components_from_pairs(ds).to_pandas()
+    got = dict(zip(drv["k"], drv["label"]))
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
