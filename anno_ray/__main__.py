@@ -19,6 +19,8 @@ extract, pipeline, crossdoc, batch, models, info, ...) on Ray Data:
   python -m anno_ray config [--save F]                   scale/dispatch config
   python -m anno_ray info                                versions + features
   python -m anno_ray benchmark [--docs N]                per-extractor docs/sec
+  python -m anno_ray graph pagerank|degree|components    graph analytics on a kg
+  python -m anno_ray corpus PATH --quantiles C --distinct C  column analyses
 
 On a cluster, submit the same commands via:
   ray job submit --working-dir . -- python -m anno_ray kg --pages ... --out ...
