@@ -565,7 +565,7 @@ def _sample_edge_cuts(
     mapping: pa.Table,
     *,
     sample_files: int = 8,
-    rows_per_part: int = 200_000,
+    rows_per_part: int = 400_000,
     max_parts: int = 256,
 ) -> tuple[list[str], int]:
     """Volume-weighted range cuts for the materialize stage, from a
@@ -812,9 +812,21 @@ def _run_materialize_broadcast(out_dir: str, mapping: pa.Table) -> dict:
     fused = FusedMaterialize(mapping, cuts, spill_dir, node_cuts, node_spill_dir)
     # batch_size trades fused-pass granularity against spill-file count:
     # n_tasks ~ corpus/batch_size and each task writes <= n_parts files, so
-    # bigger batches mean fewer, larger partials for the merge fan to read
+    # the spill-file total is O(n_tasks x n_parts) — QUADRATIC-ish in corpus
+    # size at a fixed batch size. At 192k pages the fixed 768 produced
+    # 250 tasks x 111 partitions = 27.7k tiny files and the merge became
+    # open/footer-bound (355 CPU-s of read for 47 s of write). Scale the
+    # batch with the corpus, floored for small-corpus parallelism and
+    # capped so one task's exploded mentions+triples stay ~tens of MB.
+    # DATA-derived only (pages count), so the spill layout — like the
+    # partition layout — is identical across cluster sizes.
+    n_pages = sum(
+        int(m.get("metrics", {}).get("pages", 0))
+        for m in mf.completed_partitions(out_dir, "docs").values()
+    )
+    fused_batch = min(4096, max(768, n_pages // 64))
     counts = docs.map_batches(
-        fused, batch_format="pyarrow", batch_size=768
+        fused, batch_format="pyarrow", batch_size=fused_batch
     ).take_all()
     rows_in = {
         "node_rows": int(sum(r["node_rows"] for r in counts)),
