@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pagerank": dq.kg_pagerank,
         "kg_degree_stats": dq.kg_degree_stats,
         "kg_components": dq.kg_components,
+        "ngram_jaccard_pairs": dq.ngram_jaccard_pairs,
     }
 
 
@@ -157,6 +158,37 @@ SELECT node AS node_id, lab AS component,
 FROM {prev} ORDER BY node_id"""
     )
     return "".join(parts)
+
+
+def _ngram_jaccard_sql() -> str:
+    """Independent exact char-3-gram Jaccard in pure SQL, mirroring
+    core ``ngram_jaccard`` exactly: grams are substr(text, i, 3) for
+    i in 1..max(len-2, 1) (so a doc shorter than 3 chars contributes its
+    whole text as one gram, and an empty text the empty gram — identical
+    to the Python slice semantics), DISTINCT per doc, set Jaccard,
+    rounded to 6 dp on both sides."""
+    return """
+        WITH d AS (SELECT doc_id, text FROM documents),
+        g AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS BIGINT), 3) AS gram
+              FROM (SELECT doc_id, text,
+                           unnest(generate_series(1, greatest(length(text) - 2, 1))) AS i
+                    FROM d)),
+        cnt AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+        pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM d a JOIN d b ON b.doc_id = a.doc_id + 1),
+        inter AS (SELECT p.id_a, p.id_b, COUNT(*) AS m
+                  FROM pairs p
+                  JOIN g x ON x.doc_id = p.id_a
+                  JOIN g y ON y.doc_id = p.id_b AND y.gram = x.gram
+                  GROUP BY p.id_a, p.id_b)
+        SELECT p.id_a, p.id_b,
+               ROUND(CAST(COALESCE(i.m, 0) AS DOUBLE)
+                     / (ca.n + cb.n - COALESCE(i.m, 0)), 6) AS jaccard
+        FROM pairs p
+        JOIN cnt ca ON ca.doc_id = p.id_a
+        JOIN cnt cb ON cb.doc_id = p.id_b
+        LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+    """
 
 
 def _degree_stats_sql(edges_source: str) -> str:
@@ -475,6 +507,7 @@ def oracle_sql() -> dict[str, str]:
             f"read_parquet('{gold}/kg_edges.parquet')"
         ),
         "kg_components": _components_sql(f"read_parquet('{gold}/kg_edges.parquet')"),
+        "ngram_jaccard_pairs": _ngram_jaccard_sql(),
         # Deterministic non-SQL operators (seeded hyperplanes / FNV-1a
         # minhash / fixed fixtures / fake scorers): pinned as goldens by
         # tools/make_op_goldens.py, double-run-verified before each pin.

@@ -912,3 +912,41 @@ def kg_components(sf_dir: str):
         [ray.get(r) for r in cc.to_arrow_refs()], promote_options="permissive"
     )
     return tbl.take(pc.sort_indices(tbl, sort_keys=[("node_id", "ascending")]))
+
+
+def ngram_jaccard_pairs(sf_dir: str):
+    """Exact char-3-gram Jaccard over consecutive-doc candidate pairs.
+
+    Oracle-gates the dedup verification scorer
+    (stages/dedup.verify_pairs_ngram_jaccard) itself: the SQL oracle
+    recomputes the same 3-gram sets with substr/generate_series and the
+    same set-Jaccard in pure DuckDB. Consecutive (i, i+1) pairs keep the
+    pair list linear in the corpus (a deterministic stand-in for an LSH
+    candidate list)."""
+    from ..stages.dedup import verify_pairs_ngram_jaccard
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = ds.count()
+
+    def _pairs(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "id_a": b.column("doc_id"),
+                "id_b": pc.add(b.column("doc_id"), 1),
+            }
+        )
+        return t.filter(pc.less(t.column("id_b"), n_docs))
+
+    pairs = ds.map_batches(_pairs, batch_format="pyarrow")
+    out = verify_pairs_ngram_jaccard(pairs=pairs, ds=ds, text_col="text", id_col="doc_id")
+    if not isinstance(out, pa.Table):
+        import ray
+
+        out = pa.concat_tables(
+            [ray.get(r) for r in out.to_arrow_refs()], promote_options="permissive"
+        )
+    out = out.set_column(
+        out.column_names.index("jaccard"), "jaccard",
+        pc.round(out.column("jaccard"), ndigits=6),
+    )
+    return out.take(pc.sort_indices(out, sort_keys=[("id_a", "ascending")]))
