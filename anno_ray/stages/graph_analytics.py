@@ -145,24 +145,43 @@ def pagerank(
     # before anything reaches the driver
     driver_combine = n <= 100_000
 
+    # the iterative loop runs as RAW Ray tasks over the materialized edge
+    # block refs, not per-iteration Dataset pipelines: an iterative numeric
+    # fixpoint is the documented case where the Dataset API genuinely
+    # doesn't fit — 10 streaming-executor spin-ups add seconds of fixed
+    # cost, and the per-iteration operator/object churn has been observed
+    # to trip Ray 2.49's reference_count.cc:581 check in long sessions
+    block_refs = edges.to_arrow_refs() if driver_combine else None
+
+    @ray.remote
+    def _contrib_task(block: pa.Table, static, ranks):
+        nodes_arr, outdeg = static
+        if block.num_rows == 0 or "id_a" not in block.column_names:
+            return np.zeros(0, np.int64), np.zeros(0, np.float64)
+        si = pc.index_in(block.column("id_a"), value_set=nodes_arr).to_numpy(
+            zero_copy_only=False
+        )
+        di = pc.index_in(block.column("id_b"), value_set=nodes_arr).to_numpy(
+            zero_copy_only=False
+        )
+        w = ranks[si] / outdeg[si]
+        uniq, inv = np.unique(di, return_inverse=True)
+        return uniq.astype(np.int64), np.bincount(inv, weights=w)
+
     for _ in range(iterations):
         rank_ref = ray.put(r)
-        partials = edges.map_batches(
-            _contrib,
-            batch_format="pyarrow",
-            fn_kwargs={"static_ref": static_ref, "rank_ref": rank_ref},
-        )
         contrib = np.zeros(n, dtype=np.float64)
         if driver_combine:
-            for ref in partials.to_arrow_refs():
-                t = ray.get(ref)
-                if t.num_rows:
-                    np.add.at(
-                        contrib,
-                        t.column("i").to_numpy(zero_copy_only=False).astype(np.int64),
-                        t.column("s").to_numpy(zero_copy_only=False),
-                    )
+            for uniq, sums in ray.get(
+                [_contrib_task.remote(b, static_ref, rank_ref) for b in block_refs]
+            ):
+                np.add.at(contrib, uniq, sums)
         else:
+            partials = edges.map_batches(
+                _contrib,
+                batch_format="pyarrow",
+                fn_kwargs={"static_ref": static_ref, "rank_ref": rank_ref},
+            )
             agg = pa.concat_tables(
                 [
                     ray.get(ref)
