@@ -134,7 +134,11 @@ def _components_sql(edges_source: str, rounds: int = 12) -> str:
     each round takes the min over the symmetric neighborhood. The pinned
     golden graph converges in 7 rounds; 12 leaves margin. The Ray side
     (stages/components.py) iterates to fixpoint with pointer doubling, so
-    both reach the identical per-component min-id labels."""
+    both reach the identical per-component min-id labels. The final SELECT
+    cross-joins a 1-row convergence check that calls DuckDB's error() if any
+    label still changed in the last round — a graph with propagation
+    diameter > ``rounds`` fails the oracle loudly instead of silently
+    emitting wrong labels."""
     head = f"""
 WITH e AS MATERIALIZED (SELECT DISTINCT subj_node AS src, obj_node AS dst FROM {edges_source}),
 sym AS MATERIALIZED (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
@@ -151,11 +155,18 @@ l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lab FROM sym)"""
              FROM sym s JOIN {prev} p ON s.src = p.node
              GROUP BY s.dst) m ON n.node = m.node)""")
         prev = cur
+    second_last = f"l{rounds - 1}"
+    parts.append(f""",
+conv AS MATERIALIZED (
+  SELECT CASE WHEN (SELECT COUNT(*) FROM {prev} a JOIN {second_last} b
+                    ON a.node = b.node AND a.lab <> b.lab) > 0
+              THEN error('components oracle: not converged in {rounds} rounds')
+              ELSE 0 END AS ok)""")
     parts.append(
         f"""
 SELECT node AS node_id, lab AS component,
        COUNT(*) OVER (PARTITION BY lab) AS component_size
-FROM {prev} ORDER BY node_id"""
+FROM {prev}, conv ORDER BY node_id"""
     )
     return "".join(parts)
 

@@ -286,7 +286,11 @@ def _pages_dir_for(sf_dir: str) -> str:
 def _synthetic_pages(sf_dir: str):
     import ray.data
 
-    return ray.data.read_parquet(_pages_dir_for(sf_dir))
+    # prune at the read (same columns as kg.py's _PAGE_COLUMNS): a CC-scale
+    # pages table carries warc/header metadata the extract never touches
+    return ray.data.read_parquet(
+        _pages_dir_for(sf_dir), columns=["url", "html", "lang"]
+    )
 
 
 def kg_mentions(sf_dir: str):
@@ -926,16 +930,19 @@ def ngram_jaccard_pairs(sf_dir: str):
     from ..stages.dedup import verify_pairs_ngram_jaccard
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    n_docs = ds.count()
 
     def _pairs(b: pa.Table) -> pa.Table:
-        t = pa.table(
+        # candidate (i, i+1) for every OBSERVED doc id; pairs whose id_b does
+        # not exist in the corpus are dropped by the verify step on BOTH
+        # dispatch paths (inner join / broadcast existence filter), exactly
+        # mirroring the SQL oracle's `JOIN d b ON b.doc_id = a.doc_id + 1` —
+        # no contiguity or 0-based assumption on doc_id
+        return pa.table(
             {
                 "id_a": b.column("doc_id"),
                 "id_b": pc.add(b.column("doc_id"), 1),
             }
         )
-        return t.filter(pc.less(t.column("id_b"), n_docs))
 
     pairs = ds.map_batches(_pairs, batch_format="pyarrow")
     out = verify_pairs_ngram_jaccard(pairs=pairs, ds=ds, text_col="text", id_col="doc_id")

@@ -702,8 +702,15 @@ def verify_pairs_ngram_jaccard(
         for i, txt in zip(t.column(id_col).to_pylist(), t.column(text_col).to_pylist()):
             if i in need:
                 texts[i] = txt or ""
-    sims = [
-        ngram_jaccard(texts.get(a, ""), texts.get(b, ""), n)
-        for a, b in zip(pairs.column("id_a").to_pylist(), pairs.column("id_b").to_pylist())
-    ]
+    # existence semantics must match the join path: a pair whose id is absent
+    # from the corpus is DROPPED (the inner joins above drop it), never
+    # scored against an empty string
+    ida = pairs.column("id_a").to_pylist()
+    idb = pairs.column("id_b").to_pylist()
+    keep = [a in texts and b in texts for a, b in zip(ida, idb)]
+    if not all(keep):
+        pairs = pairs.filter(pa.array(keep))
+        ida = pairs.column("id_a").to_pylist()
+        idb = pairs.column("id_b").to_pylist()
+    sims = [ngram_jaccard(texts[a], texts[b], n) for a, b in zip(ida, idb)]
     return pairs.append_column("jaccard", pa.array(sims, pa.float64()))

@@ -74,38 +74,56 @@ def pagerank(
     import ray
 
     register_for_ray()
+    empty = pa.table(
+        {"node_id": pa.array([], pa.string()), "pr_norm": pa.array([], pa.float64())}
+    )
     edges = _distinct_edges(edges_ds, src, dst).materialize()
     if edges.count() == 0:
-        return pa.table(
-            {"node_id": pa.array([], pa.string()), "pr_norm": pa.array([], pa.float64())}
-        )
+        return empty
 
-    # node universe + out-degree, reduced distributedly (n_nodes rows max)
+    # The dispatch decision is made from DISTRIBUTED counts only — the
+    # driver never materializes the node universe before knowing it is
+    # broadcast-sized. |src ∪ dst| <= |src| + |dst|, so two groupby counts
+    # give a cheap upper bound; only when that bound exceeds the threshold
+    # is the exact distinct-node count computed (still distributed).
+    deg_ds = edges.groupby("id_a").count().materialize()
+    n_upper = deg_ds.count() + edges.groupby("id_b").count().count()
+    if n_upper > max_broadcast_nodes:
+        nodes_ds = _node_universe(edges).materialize()
+        n_exact = nodes_ds.count()
+        if n_exact > max_broadcast_nodes:
+            return _pagerank_joined(
+                edges, nodes_ds, n_exact, damping=damping, iterations=iterations
+            )
+
+    # broadcast path: the universe is n <= max_broadcast_nodes — safe to
+    # collect ids + degrees to the driver (this path broadcasts the rank
+    # vector every iteration anyway, so the driver holds O(n) by design)
     deg_tbl = pa.concat_tables(
         [
-            ray.get(r)
-            for r in edges.groupby("id_a").count().to_arrow_refs()
-        ],
+            t
+            for t in (ray.get(r) for r in deg_ds.to_arrow_refs())
+            if t.num_rows and "id_a" in t.column_names
+        ]
+        or [pa.table({"id_a": pa.array([], pa.string()),
+                      "count()": pa.array([], pa.int64())})],
         promote_options="permissive",
     )
     dst_tbl = pa.concat_tables(
         [
-            ray.get(r)
-            for r in edges.groupby("id_b").count().to_arrow_refs()
-        ],
+            t
+            for t in (ray.get(r) for r in edges.groupby("id_b").count().to_arrow_refs())
+            if t.num_rows and "id_b" in t.column_names
+        ]
+        or [pa.table({"id_b": pa.array([], pa.string()),
+                      "count()": pa.array([], pa.int64())})],
         promote_options="permissive",
     )
     src_ids = deg_tbl.column("id_a").to_pylist()
     all_ids = sorted(set(src_ids) | set(dst_tbl.column("id_b").to_pylist()))
     n = len(all_ids)
     if n == 0:
-        return pa.table(
-            {"node_id": pa.array([], pa.string()), "pr_norm": pa.array([], pa.float64())}
-        )
-    if n > max_broadcast_nodes:
-        return _pagerank_joined(
-            edges, all_ids, damping=damping, iterations=iterations
-        )
+        return empty
 
     idx = {v: i for i, v in enumerate(all_ids)}
     outdeg = np.zeros(n, dtype=np.float64)
@@ -203,69 +221,133 @@ def pagerank(
     )
 
 
-def _pagerank_joined(edges, all_ids, *, damping: float, iterations: int):
+def _node_universe(edges):
+    """Distinct node ids of a distinct-edge Dataset, as a Dataset of
+    ``node`` — never collected to the driver."""
+
+    def _nodes(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "id_a" not in b.column_names:
+            return pa.table({"node": pa.array([], pa.string())})
+        return pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [
+                        b.column("id_a").combine_chunks(),
+                        b.column("id_b").combine_chunks(),
+                    ]
+                )
+            }
+        )
+
+    def _keys(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "node" not in b.column_names:
+            return pa.table({"node": pa.array([], pa.string())})
+        return b.select(["node"])
+
+    return (
+        edges.map_batches(_nodes, batch_format="pyarrow")
+        .groupby("node")
+        .count()
+        .map_batches(_keys, batch_format="pyarrow")
+    )
+
+
+# typed empty blocks for the joined-path kernels: Ray 2.49 hash partitions
+# can go empty and arrive schema-less ('No match FieldRef' on b.column)
+_RANKS_SCHEMA = pa.schema(
+    [("node", pa.string()), ("outdeg", pa.float64()), ("r", pa.float64())]
+)
+
+
+def _pagerank_joined(edges, nodes_ds, n: int, *, damping: float, iterations: int):
     """Scale path: the rank vector itself is a Dataset; each iteration is
     edges ⋈ ranks (partitioned hash join on src) -> per-dst groupby sum ->
-    left join back onto the node universe. The driver never holds more
-    than the two scalar aggregates (dangling mass, node count).
+    left join back onto the node universe. ``nodes_ds`` is the distributed
+    node universe (column ``node``) and ``n`` its count — the driver holds
+    only the two scalar aggregates (dangling mass, node count), never the
+    id list.
 
     Returns a Ray Dataset of (node_id, pr_norm)."""
     import ray
     import ray.data
     from ray.data.aggregate import Sum
 
-    n = len(all_ids)
-    nodes = ray.data.from_arrow(
-        pa.table({"node": pa.array(all_ids, pa.string())})
-    ).repartition(max(2, n // 1_000_000 + 1))
+    nodes = nodes_ds.repartition(max(2, n // 1_000_000 + 1))
 
-    deg = edges.groupby("id_a").count().map_batches(
-        lambda b: pa.table(
+    def _deg_rows(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "id_a" not in b.column_names:
+            return pa.table(
+                {"dnode": pa.array([], pa.string()),
+                 "outdeg": pa.array([], pa.float64())}
+            )
+        return pa.table(
             {
                 "dnode": b.column("id_a"),
                 "outdeg": pc.cast(b.column("count()"), pa.float64()),
             }
-        ),
-        batch_format="pyarrow",
+        )
+
+    deg = edges.groupby("id_a").count().map_batches(
+        _deg_rows, batch_format="pyarrow"
     )
     njoin = max(2, n // 1_000_000 + 2)
-    # ranks carries outdeg along so the per-iteration join is single
-    ranks = nodes.join(
-        deg, join_type="left_outer", num_partitions=njoin,
-        on=("node",), right_on=("dnode",),
-    ).map_batches(
-        lambda b: pa.table(
+
+    def _init_ranks(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "node" not in b.column_names:
+            return _RANKS_SCHEMA.empty_table()
+        return pa.table(
             {
                 "node": b.column("node"),
                 "outdeg": pc.fill_null(b.column("outdeg"), 0.0),
                 "r": pa.array([1.0 / n] * b.num_rows, pa.float64()),
             }
-        ),
-        batch_format="pyarrow",
-    ).materialize()
+        )
+
+    # ranks carries outdeg along so the per-iteration join is single
+    ranks = nodes.join(
+        deg, join_type="left_outer", num_partitions=njoin,
+        on=("node",), right_on=("dnode",),
+    ).map_batches(_init_ranks, batch_format="pyarrow").materialize()
+
+    def _dangling_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "outdeg" not in b.column_names:
+            return pa.table({"s": pa.array([0.0], pa.float64())})
+        return pa.table(
+            {
+                "s": pa.array(
+                    [
+                        pc.sum(
+                            pc.if_else(
+                                pc.equal(b.column("outdeg"), 0.0),
+                                b.column("r"),
+                                pa.scalar(0.0),
+                            )
+                        ).as_py()
+                        or 0.0
+                    ],
+                    pa.float64(),
+                )
+            }
+        )
+
+    def _contrib_rows(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "id_b" not in b.column_names:
+            return pa.table(
+                {"cnode": pa.array([], pa.string()),
+                 "c": pa.array([], pa.float64())}
+            )
+        return pa.table(
+            {
+                "cnode": b.column("id_b"),
+                "c": pc.divide(b.column("r"), b.column("outdeg")),
+            }
+        )
 
     for _ in range(iterations):
         dangling = sum(
             row["s"]
             for row in ranks.map_batches(
-                lambda b: pa.table(
-                    {
-                        "s": pa.array(
-                            [
-                                pc.sum(
-                                    pc.if_else(
-                                        pc.equal(b.column("outdeg"), 0.0),
-                                        b.column("r"),
-                                        pa.scalar(0.0),
-                                    )
-                                ).as_py()
-                                or 0.0
-                            ],
-                            pa.float64(),
-                        )
-                    }
-                ),
-                batch_format="pyarrow",
+                _dangling_partial, batch_format="pyarrow"
             ).take_all()
         )
         contrib = (
@@ -273,24 +355,16 @@ def _pagerank_joined(edges, all_ids, *, damping: float, iterations: int):
                 ranks, join_type="inner", num_partitions=njoin,
                 on=("id_a",), right_on=("node",),
             )
-            .map_batches(
-                lambda b: pa.table(
-                    {
-                        "cnode": b.column("id_b"),
-                        "c": pc.divide(b.column("r"), b.column("outdeg")),
-                    }
-                ),
-                batch_format="pyarrow",
-            )
+            .map_batches(_contrib_rows, batch_format="pyarrow")
             .groupby("cnode")
             .aggregate(Sum("c"))
         )
         base = (1.0 - damping) / n + damping * dangling / n
-        ranks = ranks.join(
-            contrib, join_type="left_outer", num_partitions=njoin,
-            on=("node",), right_on=("cnode",),
-        ).map_batches(
-            lambda b: pa.table(
+
+        def _update(b: pa.Table, *, base=base) -> pa.Table:
+            if b.num_rows == 0 or "node" not in b.column_names:
+                return _RANKS_SCHEMA.empty_table()
+            return pa.table(
                 {
                     "node": b.column("node"),
                     "outdeg": b.column("outdeg"),
@@ -302,21 +376,29 @@ def _pagerank_joined(edges, all_ids, *, damping: float, iterations: int):
                         ),
                     ),
                 }
-            ),
-            batch_format="pyarrow",
-        ).materialize()
+            )
 
-    return ranks.map_batches(
-        lambda b: pa.table(
+        ranks = ranks.join(
+            contrib, join_type="left_outer", num_partitions=njoin,
+            on=("node",), right_on=("cnode",),
+        ).map_batches(_update, batch_format="pyarrow").materialize()
+
+    def _final(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "node" not in b.column_names:
+            return pa.table(
+                {"node_id": pa.array([], pa.string()),
+                 "pr_norm": pa.array([], pa.float64())}
+            )
+        return pa.table(
             {
                 "node_id": b.column("node"),
                 "pr_norm": pc.round(
                     pc.multiply(b.column("r"), pa.scalar(float(n))), ndigits=6
                 ),
             }
-        ),
-        batch_format="pyarrow",
-    )
+        )
+
+    return ranks.map_batches(_final, batch_format="pyarrow")
 
 
 def degree_stats(edges_ds, *, src: str = "subj_node", dst: str = "obj_node"):
@@ -360,7 +442,13 @@ def degree_stats(edges_ds, *, src: str = "subj_node", dst: str = "obj_node"):
     )
 
 
-def connected_components(edges_ds, *, src: str = "subj_node", dst: str = "obj_node"):
+def connected_components(
+    edges_ds,
+    *,
+    src: str = "subj_node",
+    dst: str = "obj_node",
+    max_broadcast_components: int = 1_000_000,
+):
     """Weakly-connected components over the distinct undirected edge graph
     -> Dataset (node_id, component, component_size).
 
@@ -368,8 +456,12 @@ def connected_components(edges_ds, *, src: str = "subj_node", dst: str = "obj_no
     min-label propagation + pointer-doubling machinery already proven at
     10M keys); this surfaces it as a first-class graph-analytics operator.
     ``component`` = min node id in the component (the fixpoint the
-    propagation converges to). Component sizes are a components-count-sized
-    broadcast — components << nodes, so no second shuffle."""
+    propagation converges to). Component sizes dispatch on the OBSERVED
+    component count: usually components << nodes and a driver-dict
+    broadcast is one cheap ray.put, but a pair-heavy sparse graph can have
+    ~n/2 components — above ``max_broadcast_components`` the sizes are
+    attached by a partitioned hash join instead, so the driver never holds
+    a nodes-scale structure."""
     import ray
 
     from .components import components_from_pairs
@@ -380,8 +472,53 @@ def connected_components(edges_ds, *, src: str = "subj_node", dst: str = "obj_no
         batch_format="pyarrow",
     )
     labels = components_from_pairs(pairs).materialize()
+    counts = labels.groupby("label").count().materialize()
+    n_components = counts.count()
+
+    empty = pa.table(
+        {
+            "node_id": pa.array([], pa.string()),
+            "component": pa.array([], pa.string()),
+            "component_size": pa.array([], pa.int64()),
+        }
+    )
+
+    if n_components > max_broadcast_components:
+        # scale path: sizes via partitioned hash join on the label
+        def _size_rows(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0 or "label" not in b.column_names:
+                return pa.table(
+                    {"slabel": pa.array([], pa.string()),
+                     "component_size": pa.array([], pa.int64())}
+                )
+            return pa.table(
+                {
+                    "slabel": b.column("label"),
+                    "component_size": pc.cast(b.column("count()"), pa.int64()),
+                }
+            )
+
+        sizes_ds = counts.map_batches(_size_rows, batch_format="pyarrow")
+        njoin = max(2, n_components // 1_000_000 + 2)
+
+        def _project(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0 or "label" not in b.column_names:
+                return empty
+            return pa.table(
+                {
+                    "node_id": b.column("k"),
+                    "component": b.column("label"),
+                    "component_size": b.column("component_size"),
+                }
+            )
+
+        return labels.join(
+            sizes_ds, join_type="inner", num_partitions=njoin,
+            on=("label",), right_on=("slabel",),
+        ).map_batches(_project, batch_format="pyarrow")
+
     sizes: dict = {}
-    for ref in labels.groupby("label").count().to_arrow_refs():
+    for ref in counts.to_arrow_refs():
         t = ray.get(ref)
         # Ray emits schema-less empty blocks for empty groups — skip them
         if t.num_rows == 0 or "label" not in t.column_names:
@@ -392,13 +529,7 @@ def connected_components(edges_ds, *, src: str = "subj_node", dst: str = "obj_no
 
     def _annot(b: pa.Table, *, sizes_ref) -> pa.Table:
         if b.num_rows == 0 or "label" not in b.column_names:
-            return pa.table(
-                {
-                    "node_id": pa.array([], pa.string()),
-                    "component": pa.array([], pa.string()),
-                    "component_size": pa.array([], pa.int64()),
-                }
-            )
+            return empty
         s = ray.get(sizes_ref)
         labs = b.column("label").to_pylist()
         return pa.table(

@@ -44,12 +44,13 @@ class CosineTopK:
         queries = ray.get(query_ref) if not isinstance(query_ref, tuple) else query_ref
         self.query_ids, qm = queries
         self.qm = _normalize(np.asarray(qm, dtype=np.float32))  # (q, d)
+        self.qm64 = self.qm.astype(np.float64)
         self.k = k
         self.id_col = id_col
         self.vec_col = vec_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch.column(self.id_col).to_pylist()
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
         m = _normalize(_to_matrix(batch.column(self.vec_col)))  # (n, d)
         if m.shape[0] == 0:
             return pa.table(
@@ -57,16 +58,28 @@ class CosineTopK:
                  "neighbor_id": pa.array([], pa.int64()),
                  "cosine": pa.array([], pa.float64())}
             )
+        # f32 BLAS matmul is used for candidate SELECTION only: its summation
+        # order depends on the block shape (kernel tiling), so the same pair
+        # can score 0.202356 in one layout and 0.202357 in another — enough to
+        # flip round(cos, 6) and break run-to-run hash stability across
+        # num_cpus. The emitted score is recomputed below as a float64
+        # per-pair product-sum over the fixed embedding dim, which is
+        # layout-invariant (each pair's reduction order depends only on d).
         sims = self.qm @ m.T  # (q, n)
+        n = m.shape[0]
+        # select a small margin past k so a BLAS ulp at the selection
+        # boundary cannot exclude a true top-k candidate
+        kk = min(self.k + 8, n)
+        m64 = m.astype(np.float64)
         q_out, n_out, s_out = [], [], []
-        k = min(self.k, m.shape[0])
         for qi in range(sims.shape[0]):
-            # per-block partial top-k; final top-k happens in the combine step
-            idx = np.argpartition(-sims[qi], k - 1)[:k]
-            for j in idx:
-                q_out.append(self.query_ids[qi])
-                n_out.append(ids[j])
-                s_out.append(float(sims[qi, j]))
+            idx = (
+                np.argpartition(-sims[qi], kk - 1)[:kk] if kk < n else np.arange(n)
+            )
+            exact = np.sum(m64[idx] * self.qm64[qi], axis=1)
+            q_out.extend([self.query_ids[qi]] * len(idx))
+            n_out.extend(ids[idx].tolist())
+            s_out.extend(exact.tolist())
         return pa.table(
             {
                 "query_id": pa.array(q_out, pa.int64()),

@@ -153,3 +153,31 @@ def test_connected_components(ray_session):
     assert got["x"] == ("x", 2) and got["y"] == ("x", 2)
     for n in ["a", "b", "c", "d", "e", "sink"]:
         assert got[n] == ("a", 6), n
+
+
+def test_connected_components_joined_sizes_match_broadcast(ray_session):
+    """Forcing the component-size hash-join path (max_broadcast_components=1)
+    must produce the identical (node, component, size) set as the broadcast
+    dict path — the dispatch is a perf threshold, never a semantics fork."""
+    import ray
+
+    from anno_ray.stages.graph_analytics import connected_components
+
+    def _rows(ds):
+        tbl = pa.concat_tables(
+            [ray.get(r) for r in ds.to_arrow_refs()], promote_options="permissive"
+        )
+        return sorted(
+            zip(
+                tbl.column("node_id").to_pylist(),
+                tbl.column("component").to_pylist(),
+                tbl.column("component_size").to_pylist(),
+            )
+        )
+
+    edges = GRAPH + [("x", "y")]
+    broadcast = _rows(connected_components(_edges_ds(edges)))
+    joined = _rows(
+        connected_components(_edges_ds(edges), max_broadcast_components=1)
+    )
+    assert broadcast == joined and len(broadcast) == 8
