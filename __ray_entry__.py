@@ -251,6 +251,71 @@ def _quality_by_lang_sql() -> str:
     """
 
 
+def consistency_sql() -> dict[str, str]:
+    """Cross-table consistency oracles over the pinned KG goldens.
+
+    The four kg_* chain goldens are determinism pins (readback of the
+    pipeline's own double-checked output); these queries upgrade them to
+    SEMANTIC checks by asserting invariants that must hold BETWEEN tables
+    by construction (pipelines/kg.py NodeRows/EdgeRows):
+
+    - mention conservation: kg_nodes.mentions_count sums to exactly the
+      non-PRON mention count (NodeRows skips pronouns — they are track
+      members, not graph nodes);
+    - edges = triples + endpoints: the (subj, pred, obj, conf, source, url)
+      MULTISETS of kg_edges and kg_triples are identical (EXCEPT ALL both
+      ways) — the materialize map-back may never drop, duplicate, or
+      mutate a triple;
+    - endpoint referential integrity: every kg_edges endpoint resolves to a
+      kg_nodes row, except the two documented literal families — ``text:``
+      (triple arguments matching no mention cluster) and ``coref_`` ids of
+      pronoun-only clusters (no non-PRON mention exists to seed a node row).
+      All structured-value endpoints (date:/money:/email:/...) and
+      kb-linked endpoints must be present.
+
+    Each query returns a single row ``(check, ok)``; ok must be true.
+    tools/check_oracles.py runs these after the per-query gate, and
+    tests/test_kg_cross_table.py pins them in the suite."""
+    gold = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tests", "golden", "kg_oracle"
+    )
+    m = f"read_parquet('{gold}/kg_mentions.parquet')"
+    n = f"read_parquet('{gold}/kg_nodes.parquet')"
+    e = f"read_parquet('{gold}/kg_edges.parquet')"
+    t = f"read_parquet('{gold}/kg_triples.parquet')"
+    return {
+        "nodes_mentions_conservation": f"""
+            SELECT 'nodes_mentions_conservation' AS check,
+                   (SELECT COALESCE(SUM(mentions_count), 0) FROM {n})
+                   = (SELECT COUNT(*) FROM {m} WHERE label <> 'PRON') AS ok
+        """,
+        "edges_triples_multiset_equal": f"""
+            SELECT 'edges_triples_multiset_equal' AS check,
+                   (SELECT COUNT(*) FROM
+                     (SELECT subj, pred, obj, conf, source, url FROM {e}
+                      EXCEPT ALL
+                      SELECT subj, pred, obj, conf, source, url FROM {t})) = 0
+                   AND
+                   (SELECT COUNT(*) FROM
+                     (SELECT subj, pred, obj, conf, source, url FROM {t}
+                      EXCEPT ALL
+                      SELECT subj, pred, obj, conf, source, url FROM {e})) = 0
+                   AND (SELECT COUNT(*) FROM {e}) = (SELECT COUNT(*) FROM {t})
+                   AS ok
+        """,
+        "edge_endpoints_resolve_to_nodes": f"""
+            SELECT 'edge_endpoints_resolve_to_nodes' AS check,
+                   (SELECT COUNT(*) FROM
+                     (SELECT DISTINCT x FROM
+                        (SELECT subj_node AS x FROM {e}
+                         UNION ALL SELECT obj_node FROM {e})
+                      WHERE x NOT LIKE 'text:%' AND x NOT LIKE 'coref_%')
+                    WHERE x NOT IN (SELECT node_id FROM {n})) = 0
+                   AS ok
+        """,
+    }
+
+
 def oracle_sql() -> dict[str, str]:
     # End-to-end KG goldens: the per-operator stages (HTML extract, heuristic
     # NER, events, relations, coref) are each verified char/span-exact against

@@ -505,10 +505,16 @@ def validate_tokenizer_offsets(tokenize_with_offsets, text: str) -> None:
     - real-token offsets are non-decreasing and CHARACTER-indexed: the
       slice text[start:end] must be non-empty and contain no leading/
       trailing whitespace for word-piece tokens (a byte-indexed tokenizer
-      drop-in fails this on any non-ASCII text).
+      drop-in fails this on any non-ASCII text);
+    - real-token offsets TILE the text exactly: together they cover every
+      non-whitespace character once and cover no whitespace. This is what
+      catches the classic drop-in failures — inclusive-end spans (s, e-1)
+      leave the last char of every word uncovered; one-shifted starts
+      cover a space — that per-token checks cannot see.
 
-    Raises ValueError on the first violation; call once at actor init when
-    plugging a real HF tokenizer so drift is caught before decoding."""
+    Raises ValueError on the first violation; call once at actor init with
+    a clean multi-word probe text (no control chars) when plugging a real
+    HF tokenizer so drift is caught before decoding."""
     ids, offsets = tokenize_with_offsets(text)
     if len(ids) != len(offsets):
         raise ValueError(
@@ -542,6 +548,25 @@ def validate_tokenizer_offsets(tokenize_with_offsets, text: str) -> None:
                 f"(got {piece!r}) — byte-indexed offsets?"
             )
         prev_end = e
+    covered = [0] * n
+    for s, e in offsets:
+        if (s, e) == (0, 0):
+            continue
+        for j in range(s, e):
+            covered[j] += 1
+    for j, c in enumerate(covered):
+        is_space = text[j].isspace()
+        if c == 0 and not is_space:
+            raise ValueError(
+                f"char {j} ({text[j]!r}) covered by no token — "
+                f"inclusive-end (off-by-one) offsets?"
+            )
+        if c > 0 and is_space:
+            raise ValueError(
+                f"whitespace char {j} covered by a token — shifted offsets?"
+            )
+        if c > 1:
+            raise ValueError(f"char {j} covered by {c} overlapping tokens")
 
 
 class BertNERActor:

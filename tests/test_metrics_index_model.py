@@ -572,3 +572,25 @@ def test_bert_tokenizer_offsets_contract():
 
     with pytest.raises(ValueError):
         validate_tokenizer_offsets(bad_special, text)
+
+    # drift 4 (the classic HF-drop-in failure): off-by-one offsets —
+    # inclusive-end spans ((s, e-1)) slice a truncated piece and must be
+    # rejected (onnx.rs:282-292 offsets are exclusive-end char indices)
+    def inclusive_end(t):
+        i, o = tiny_wordpiece(t)
+        return i, [(s, e - 1) if (s, e) != (0, 0) else (0, 0) for s, e in o]
+
+    with pytest.raises(ValueError):
+        validate_tokenizer_offsets(inclusive_end, text)
+
+    # drift 5: start shifted one char right (leading-whitespace slice on
+    # the following word) must be rejected
+    def shifted_start(t):
+        i, o = tiny_wordpiece(t)
+        return i, [
+            (s + 1, e + 1) if (s, e) != (0, 0) and e + 1 <= len(t) else (s, e)
+            for s, e in o
+        ]
+
+    with pytest.raises(ValueError):
+        validate_tokenizer_offsets(shifted_start, text)

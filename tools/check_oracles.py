@@ -121,6 +121,17 @@ def main() -> int:
                 print(f"      {detail}")
                 print("      mine:", mine.head(3).to_dict("records"))
                 print("      want:", want.head(3).to_dict("records"))
+    # cross-table consistency oracles over the pinned KG goldens (pure SQL;
+    # semantic invariants BETWEEN tables that a per-table readback can't see)
+    for name, sql in getattr(entrymod, "consistency_sql", dict)().items():
+        if only and name not in only:
+            continue
+        row = con.execute(sql).fetchall()[0]
+        if row[1] is True:
+            print(f"OK    [consistency] {name}")
+        else:
+            failures.append(name)
+            print(f"FAIL  [consistency] {name}: {row}")
     print("FAILURES:", failures if failures else "none")
     return 1 if failures else 0
 
