@@ -533,6 +533,7 @@ class FusedMaterialize:
         spill_dir: str,
         node_cuts: list[str],
         node_spill_dir: str,
+        funnels: list | None = None,
     ):
         import numpy as np
 
@@ -542,16 +543,21 @@ class FusedMaterialize:
         self.spill_dir = spill_dir
         self.node_cuts = np.array(node_cuts, dtype=object) if node_cuts else None
         self.node_spill_dir = node_spill_dir
+        self.funnels = funnels
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         mentions = _explode(batch.select(["url", "mentions"]), "mentions", ["url"])
         node_partial = self.node_fn(mentions)
         spill_batch(
-            node_partial, self.node_spill_dir, "node_id", self.node_cuts, "node_id"
+            node_partial, self.node_spill_dir, "node_id", self.node_cuts, "node_id",
+            funnels=self.funnels,
         )
         triples = _explode(batch.select(["url", "triples"]), "triples", ["url"])
         edges = self.edge_fn(triples)
-        spill_batch(edges, self.spill_dir, "subj_node", self.cuts, "url")
+        spill_batch(
+            edges, self.spill_dir, "subj_node", self.cuts, "url",
+            funnels=self.funnels,
+        )
         return pa.table(
             {
                 "node_rows": pa.array([node_partial.num_rows], pa.int64()),
@@ -824,10 +830,37 @@ def _run_materialize_broadcast(out_dir: str, mapping: pa.Table) -> dict:
         int(m.get("metrics", {}).get("pages", 0))
         for m in mf.completed_partitions(out_dir, "docs").values()
     )
-    fused_batch = min(4096, max(768, n_pages // 64))
-    counts = docs.map_batches(
-        fused, batch_format="pyarrow", batch_size=fused_batch
-    ).take_all()
+    fused_batch = int(
+        os.environ.get("ANNO_FUSED_BATCH", min(4096, max(768, n_pages // 64)))
+    )
+    # per-node spill consolidation: the raw pattern writes n_tasks x n_parts
+    # files, which grows linearly with tasks once fused_batch caps at 4096
+    # (10^9 pages -> ~244k tasks -> tens of millions of spill files). Above
+    # the measured harm threshold the spill slices route through
+    # writer-funnel actors that flush consolidated per-partition files —
+    # O(n_funnels x n_parts), task-count-independent. The threshold comes
+    # from an interleaved same-session A/B (each pair alternated to cancel
+    # host clock drift): at 96k pages (2.2k files) direct wins 7.7 vs 9.4 s
+    # and at 192k (4.2k files) 15.0 vs 21.6 s — the consolidation hop costs
+    # an extra object-store copy of every edge row — while in the forced
+    # explosion regime (fused_batch=768 at 192k -> 18.7k files, the exact
+    # shape of the round-4 incident) the funnel path wins (see BASELINE.md
+    # round-5 table). ANNO_SPILL_FUNNELS=0 disables; >0 forces the count.
+    from ..state.writer import close_spill_funnels, create_spill_funnels
+
+    env_funnels = int(os.environ.get("ANNO_SPILL_FUNNELS", "-1"))
+    est_files = (max(1, n_pages // fused_batch)) * (n_parts + node_n_parts)
+    funnels = None
+    if env_funnels != 0 and (env_funnels > 0 or est_files > 8192):
+        funnels = create_spill_funnels(env_funnels if env_funnels > 0 else None)
+        fused.funnels = funnels
+    try:
+        counts = docs.map_batches(
+            fused, batch_format="pyarrow", batch_size=fused_batch
+        ).take_all()
+    finally:
+        if funnels:
+            close_spill_funnels(funnels)
     rows_in = {
         "node_rows": int(sum(r["node_rows"] for r in counts)),
         "edge_rows": int(sum(r["edge_rows"] for r in counts)),

@@ -95,10 +95,133 @@ def _batch_tag(batch: pa.Table, key: str) -> str:
     return h.hexdigest()
 
 
+class _SpillFunnel:
+    """Per-node spill-consolidation writer actor (Spark-style shuffle-file
+    consolidation). Producer tasks send their per-partition batch slices
+    here instead of each writing its own file; the funnel buffers rows per
+    (family, partition) and flushes CONSOLIDATED parquet files, so the
+    spill-file count is O(n_funnels x n_parts x flushes) — independent of
+    the task count (the raw pattern is n_tasks x n_parts files, which at
+    192k pages meant 27.7k tiny files and an open/footer-bound merge).
+
+    Retry idempotency is by CONTENT TAG: every (family, pid, tag) is
+    recorded in ``_seen`` and a duplicate send (a retried producer task
+    re-emitting the same batch) is dropped. A funnel DEATH loses its
+    buffered rows and its seen-set — the failure domain is the whole spill
+    stage (clear the spill dir and re-run), exactly like losing a shuffle
+    file in Spark resubmits the map stage. Producers ``ray.get`` their
+    append before returning, so task completion implies delivery.
+
+    Placement note (multi-node): instantiate one funnel per node with
+    ``NodeAffinitySchedulingStrategy`` so producer->funnel traffic stays on
+    the node-local object store and files per partition = n_nodes x
+    flushes. In this single-node sandbox the group is sharded by CPU
+    budget instead and routed by ``pid % n`` (each partition converges to
+    ONE funnel — push-based-shuffle shape, strictly fewer files)."""
+
+    def __init__(self, flush_rows: int = 400_000, max_buffer_rows: int = 2_000_000):
+        import uuid
+
+        self.flush_rows = flush_rows
+        self.max_buffer_rows = max_buffer_rows
+        self._buf: dict[tuple, list] = {}
+        self._rows: dict[tuple, int] = {}
+        self._total = 0
+        self._seen: set = set()
+        self._seq = 0
+        self._uid = uuid.uuid4().hex[:8]
+
+    def append(self, spill_dir: str, parts: list) -> int:
+        """parts: [(pid, tag, table), ...] — one slice per range partition."""
+        accepted = 0
+        for pid, tag, tbl in parts:
+            sk = (spill_dir, pid, tag)
+            if sk in self._seen:
+                continue  # retried producer task: content already accepted
+            self._seen.add(sk)
+            key = (spill_dir, pid)
+            self._buf.setdefault(key, []).append(tbl)
+            self._rows[key] = self._rows.get(key, 0) + tbl.num_rows
+            self._total += tbl.num_rows
+            accepted += tbl.num_rows
+            if self._rows[key] >= self.flush_rows:
+                self._flush(key)
+        while self._total >= self.max_buffer_rows and self._rows:
+            self._flush(max(self._rows, key=self._rows.get))
+        return accepted
+
+    def _flush(self, key: tuple) -> None:
+        import pyarrow.parquet as pq
+
+        spill_dir, pid = key
+        tbls = self._buf.pop(key, [])
+        self._total -= self._rows.pop(key, 0)
+        if not tbls:
+            return
+        # compact before writing: a hundred ragged slice-chunks would write
+        # as many tiny row groups, making the downstream merge read
+        # footer/row-group-bound again — the exact failure consolidation
+        # exists to avoid
+        tbl = pa.concat_tables(tbls, promote_options="permissive").combine_chunks()
+        pdir = os.path.join(spill_dir, f"part={int(pid):05d}")
+        os.makedirs(pdir, exist_ok=True)
+        self._seq += 1
+        name = f"c{self._uid}-{self._seq:06d}"
+        tmp = os.path.join(pdir, f"{name}.parquet.tmp")
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, os.path.join(pdir, f"{name}.parquet"))
+
+    def flush_all(self) -> bool:
+        for key in list(self._buf):
+            self._flush(key)
+        return True
+
+
+def create_spill_funnels(n: int | None = None, *, flush_rows: int = 400_000):
+    """Spawn the consolidation funnel group. ``n`` defaults to one funnel
+    per ~8 CPUs (the write path is compression-bound; more funnels only
+    add files). Each funnel reserves half a CPU: they are I/O-dominated,
+    and a full-CPU reservation can deadlock a small cluster where the
+    producer pool, the input read tasks, and the funnels all compete for
+    the same handful of slots. Returns a list of actor handles."""
+    import ray
+
+    if n is None:
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            cpus = 8
+        n = max(1, cpus // 4)
+    actor = ray.remote(num_cpus=0.5)(_SpillFunnel)
+    return [actor.remote(flush_rows=flush_rows) for _ in range(n)]
+
+
+def close_spill_funnels(funnels) -> None:
+    """Flush every funnel's buffers to disk, then release the actors.
+    MUST run after the producing map_batches has fully completed and
+    before any merge task reads the spill dirs."""
+    import ray
+
+    ray.get([f.flush_all.remote() for f in funnels])
+    for f in funnels:
+        ray.kill(f)
+
+
 def spill_batch(
-    batch: pa.Table, spill_dir: str, key: str, cuts: np.ndarray | None, tag_key: str
+    batch: pa.Table,
+    spill_dir: str,
+    key: str,
+    cuts: np.ndarray | None,
+    tag_key: str,
+    funnels: list | None = None,
 ) -> int:
-    """Split one batch by range partition and write partials; returns rows."""
+    """Split one batch by range partition and write partials; returns rows.
+
+    With ``funnels`` (consolidation actor handles), each partition slice is
+    routed to ``funnels[pid % n]`` and the call blocks until the funnel has
+    accepted it (so a completed producer task implies delivered rows);
+    without, each slice is written directly as a content-tag-named file
+    (idempotent under retry by overwrite)."""
     import pyarrow.parquet as pq
 
     if batch.num_rows == 0:
@@ -113,6 +236,21 @@ def spill_batch(
     starts = np.flatnonzero(np.r_[True, sorted_pids[1:] != sorted_pids[:-1]])
     ends = np.r_[starts[1:], len(sorted_pids)]
     tag = _batch_tag(batch, tag_key)
+    if funnels:
+        import ray
+
+        # ONE append call per batch: all partition slices ride together to a
+        # single funnel picked by the batch tag (content-stable, so a retried
+        # task lands on the same funnel and the seen-set dedups it). Files
+        # per partition = n_funnels x flushes — task-count-independent —
+        # at one actor round-trip per batch instead of one per partition.
+        parts = [
+            (int(sorted_pids[s]), tag, batch.take(pa.array(order[s:e])))
+            for s, e in zip(starts, ends)
+        ]
+        fi = int(tag[:8], 16) % len(funnels)
+        ray.get(funnels[fi].append.remote(spill_dir, parts))
+        return batch.num_rows
     for s, e in zip(starts, ends):
         pid = int(sorted_pids[s])
         part = batch.take(pa.array(order[s:e]))
@@ -127,13 +265,17 @@ def spill_batch(
 class _SpillWriter:
     """Phase-1 kernel: split each batch by range partition, append partials."""
 
-    def __init__(self, spill_dir: str, key: str, cuts: list[str]):
+    def __init__(self, spill_dir: str, key: str, cuts: list[str], funnels=None):
         self.spill_dir = spill_dir
         self.key = key
         self.cuts = np.array(cuts, dtype=object) if cuts else None
+        self.funnels = funnels
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        rows = spill_batch(batch, self.spill_dir, self.key, self.cuts, self.key)
+        rows = spill_batch(
+            batch, self.spill_dir, self.key, self.cuts, self.key,
+            funnels=self.funnels,
+        )
         return pa.table({"rows": pa.array([rows], pa.int64())})
 
 
@@ -173,18 +315,29 @@ def write_sorted(
     spill_dir = os.path.join(out_dir, stage, "_spill")
     shutil.rmtree(spill_dir, ignore_errors=True)
 
-    # phase 1: spill partials (streaming; consumes the dataset once)
+    # phase 1: spill partials (streaming; consumes the dataset once).
+    # Wide layouts route through consolidation funnels so the spill-file
+    # count stays O(n_funnels x n_parts), never O(n_tasks x n_parts)
+    # (ANNO_SPILL_FUNNELS=0 disables, >0 forces the funnel count).
     try:
         pool_hi = max(4, int(ray.cluster_resources().get("CPU", 8)))
     except Exception:
         pool_hi = 8
-    spilled = ds.map_batches(
-        _SpillWriter,
-        fn_constructor_args=(spill_dir, pk, cuts),
-        batch_format="pyarrow",
-        concurrency=(1, pool_hi) if pool_hi >= 12 else (1, max(2, pool_hi - 1)),
-    )
-    total_in = sum(r["rows"] for r in spilled.take_all())
+    env_funnels = int(os.environ.get("ANNO_SPILL_FUNNELS", "-1"))
+    funnels = None
+    if env_funnels != 0 and (env_funnels > 0 or n_parts > 32):
+        funnels = create_spill_funnels(env_funnels if env_funnels > 0 else None)
+    try:
+        spilled = ds.map_batches(
+            _SpillWriter,
+            fn_constructor_args=(spill_dir, pk, cuts, funnels),
+            batch_format="pyarrow",
+            concurrency=(1, pool_hi) if pool_hi >= 12 else (1, max(2, pool_hi - 1)),
+        )
+        total_in = sum(r["rows"] for r in spilled.take_all())
+    finally:
+        if funnels:
+            close_spill_funnels(funnels)
     try:  # persist ds.stats() for the spill pass (observability)
         os.makedirs(os.path.join(out_dir, stage), exist_ok=True)
         with open(
