@@ -205,16 +205,22 @@ def extract(text: str, threshold: float = THRESHOLD) -> list[Mention]:
     words = [w for (w, _, _) in words_with_pos]
     nwords = len(words)
 
+    # one precompute pass replaces the 2-3 _lstrip_non_alnum calls each word
+    # previously paid across the outer scan + span-extension loops (words are
+    # visited up to twice); the fast path skips the char loop entirely when
+    # the first char is already alphanumeric — the overwhelmingly common case
+    lstripped = [
+        w if (w[0].isalpha() or w[0].isnumeric()) else _lstrip_non_alnum(w)
+        for w in words
+    ]
+    first_upper = [bool(s) and s[0].isupper() for s in lstripped]
+
     i = 0
     while i < nwords:
+        if not first_upper[i]:
+            i += 1
+            continue
         word = words[i]
-        clean_leading = _lstrip_non_alnum(word)
-        if not clean_leading:
-            i += 1
-            continue
-        if not clean_leading[0].isupper():
-            i += 1
-            continue
 
         start_idx = i
         first_word_clean = _strip_non_alnum(word.lower())
@@ -225,15 +231,14 @@ def extract(text: str, threshold: float = THRESHOLD) -> list[Mention]:
         # span-extension loop (heuristic.rs:444-508)
         while i < nwords:
             w = words[i]
-            w_clean = _lstrip_non_alnum(w)
             ends_with_closing = w.endswith((")", "]", "}"))
             ends_with_punct = w.endswith((".", "!", "?"))
-            first_char_upper = bool(w_clean) and w_clean[0].isupper()
+            first_char_upper = first_upper[i]
             is_connector = w.lower() in ("of", "the")
 
             if i + 1 < nwords:
-                nxt_clean = _lstrip_non_alnum(words[i + 1])
-                next_upper = bool(nxt_clean) and nxt_clean[0].isupper()
+                nxt_clean = lstripped[i + 1]
+                next_upper = first_upper[i + 1]
                 is_suffix = nxt_clean.lower() in ORG_SUFFIX
                 if (ends_with_closing or ends_with_punct) and not is_suffix:
                     next_word_ok = False

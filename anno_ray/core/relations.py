@@ -68,6 +68,13 @@ def extract_pair_relations(
     valid = [e for e in entities if e.start < e.end and e.end <= text_len and e.start < text_len]
     n = min(max_entities, len(valid))
 
+    # ASCII fast path: lowercase the text ONCE and slice the between-span
+    # from it (O(pairs) slices instead of O(pairs) slice+lower calls).
+    # ASCII-only because Unicode lowercasing is not length-preserving
+    # ('İ' -> 'i̇'), which would misalign the char offsets; non-ASCII docs
+    # keep the per-pair lower() with identical results.
+    text_lower = text.lower() if text.isascii() else None
+
     out: list[Relation] = []
     for i in range(n):
         for j in range(i + 1, n):
@@ -81,10 +88,13 @@ def extract_pair_relations(
             if distance > max_distance:
                 continue
             if head.end <= tail.start:
-                between = text[head.end : tail.start]
+                bs, be = head.end, tail.start
             else:
-                between = text[tail.end : head.start]
-            rel_type = _classify_between(between.lower(), fallback)
+                bs, be = tail.end, head.start
+            between_lower = (
+                text_lower[bs:be] if text_lower is not None else text[bs:be].lower()
+            )
+            rel_type = _classify_between(between_lower, fallback)
             out.append(Relation(head, tail, rel_type, 0.5))
     return out
 
