@@ -16,7 +16,6 @@ import hashlib
 import os
 
 import pyarrow as pa
-import pytest
 
 
 def _rows(n: int) -> pa.Table:
@@ -43,7 +42,7 @@ def _md5s(out_dir: str, stage: str) -> list[str]:
 def test_funnel_and_direct_spill_write_identical_output(ray_session, tmp_path, monkeypatch):
     import ray.data
 
-    from anno_ray.state.writer import boundaries_from_keys, write_sorted
+    from anno_ray.state.writer import write_sorted
 
     tbl = _rows(20_000)
     cuts_src = sorted(set(tbl.column("subj_node").to_pylist()))
@@ -66,7 +65,7 @@ def test_funnel_consolidates_file_count(ray_session, tmp_path, monkeypatch):
     spill files than blocks x partitions (the direct pattern)."""
     import ray.data
 
-    from anno_ray.state.writer import boundaries_from_keys, write_sorted
+    from anno_ray.state.writer import write_sorted
 
     monkeypatch.setenv("ANNO_SPILL_FUNNELS", "2")
     monkeypatch.setenv("ANNO_KEEP_SPILL", "1")
