@@ -256,7 +256,10 @@ def main() -> None:
             **pair_small,
             "pairs": {f"{lo}->{hi}": pair_small},
         }
-        if NUM_CPUS >= 4 * hi // 2:  # room for the full-box pair
+        if (
+            NUM_CPUS >= 4 * hi // 2
+            and os.environ.get("BENCH_SCALING_PAIRS", "both") != "small"
+        ):  # room for the full-box pair (BENCH_SCALING_PAIRS=small skips it)
             pair_full = with_hw(_scaling_pair(2 * lo, NUM_CPUS, pages, n_pages))
             out["pairs"][f"{2 * lo}->{NUM_CPUS}"] = pair_full
             out["busy_loop_parallel_capacity"] = round(cap(NUM_CPUS), 1)
